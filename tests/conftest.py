@@ -7,7 +7,7 @@ testing sharded FFT + all-to-all without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image presets JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# A site-customization may have force-registered a TPU plugin at interpreter
+# startup (overriding JAX_PLATFORMS); the config update below wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

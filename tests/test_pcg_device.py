@@ -1,0 +1,71 @@
+"""Device (jnp limb-math) pcg64 vs the verified host implementation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from zeldovich_tpu.ops import pcg, pcg_device
+
+
+def rand128(rng, shape):
+    vals = [int.from_bytes(rng.bytes(16), "little") for _ in range(np.prod(shape))]
+    arr = np.stack([pcg.to_limbs32(v) for v in vals]).reshape(*shape, 4)
+    return vals, jnp.asarray(arr)
+
+
+def test_mul_add_128():
+    rng = np.random.RandomState(0)
+    av, a = rand128(rng, (17,))
+    bv, b = rand128(rng, (17,))
+    got_mul = np.asarray(pcg_device.mul128(a, b))
+    got_add = np.asarray(pcg_device.add128(a, b))
+    for i in range(17):
+        assert pcg.from_limbs32(got_mul[i]) == (av[i] * bv[i]) & pcg.MASK128
+        assert pcg.from_limbs32(got_add[i]) == (av[i] + bv[i]) & pcg.MASK128
+
+
+def test_bump_and_output():
+    rng = np.random.RandomState(1)
+    sv, s = rand128(rng, (9,))
+    bumped = np.asarray(pcg_device.bump(s))
+    outs = np.asarray(pcg_device.output_u64(s))
+    for i in range(9):
+        assert pcg.from_limbs32(bumped[i]) == pcg.bump(sv[i])
+        assert int(outs[i]) == pcg.output(sv[i])
+
+
+def test_uniform_conversion():
+    r = jnp.asarray(
+        np.array([0, 1, 2**63, 2**64 - 2, 2**64 - 1], dtype=np.uint64)
+    )
+    got = np.asarray(pcg_device.uniform_from_u64(r))
+    want = [pcg.one_rand(int(v)) for v in np.asarray(r)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mode_uniforms_match_host():
+    """Full pipeline: tables + device compose == host scalar advance."""
+    seed, ppd = 12346, 16
+    mzt, czt = pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+    mxt, cxt = pcg.axis_affine_tables(ppd, 2)
+    planes = pcg.plane_state_table(seed, ppd)
+
+    ys, zs, xs = np.meshgrid(
+        np.arange(ppd // 2), np.arange(ppd), np.arange(ppd), indexing="ij"
+    )
+    R, T = pcg_device.mode_uniform_pair(
+        jnp.asarray(planes)[ys],
+        jnp.asarray(mzt)[zs],
+        jnp.asarray(czt)[zs],
+        jnp.asarray(mxt)[xs],
+        jnp.asarray(cxt)[xs],
+    )
+    R, T = np.asarray(R), np.asarray(T)
+
+    rng = np.random.RandomState(7)
+    for _ in range(30):
+        y = rng.randint(ppd // 2)
+        z = rng.randint(ppd)
+        x = rng.randint(ppd)
+        r_host, t_host = pcg.mode_uniforms(seed, y, z, x, ppd)
+        assert R[y, z, x] == r_host, (y, z, x)
+        assert T[y, z, x] == t_host, (y, z, x)

@@ -1,0 +1,172 @@
+"""Vectorized on-device pcg64: 128-bit limb arithmetic in JAX.
+
+TPUs have no native 128-bit (or even native 64-bit) integer units, so the
+128-bit LCG state is carried as four little-endian uint32 limbs and all
+products are formed as exact 32x32->64 partial products in uint64 (XLA
+emulates u64 with u32 pairs; each partial product stays exact).
+
+The host precomputes, per grid axis, the affine jump-ahead coefficients
+``(m_i, c_i)`` that position the generator at logical slot ``i`` of the
+virtual 65536-wide axis (see ``zeldovich_tpu/ops/pcg.py``).  On device, a
+mode's two uniforms then cost: one affine compose (2 mul128 + 1 madd128),
+one state application (madd128), two LCG bumps (madd128), and two XSL-RR
+output permutations -- all elementwise VPU work with no cross-lane traffic.
+
+Semantics are bit-exact with the reference's vendored pcg_random.hpp
+(``setseq_xsl_rr_128_64``): verified in tests/test_pcg_device.py against the
+pure-Python implementation (itself verified against a compiled oracle).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import pcg
+
+_U32 = jnp.uint32
+_U64 = jnp.uint64
+_LO32 = np.uint64(0xFFFFFFFF)
+
+# LCG constants as numpy limb arrays (closed over by jitted callers).
+MULT_LIMBS = pcg.to_limbs32(pcg.PCG64_MULT)
+INC_LIMBS = pcg.to_limbs32(pcg.PCG64_INC)
+
+
+def _limbs64(a):
+    """(..., 4) u32 limbs -> tuple of 4 u64 scalars-or-arrays."""
+    a = a.astype(_U64)
+    return a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+
+
+def mul128(a, b):
+    """Low 128 bits of a*b. a, b: (..., 4) uint32 limbs -> (..., 4) uint32.
+
+    Schoolbook multiply over 32-bit limbs; each 32x32 partial product is an
+    exact uint64.  Products' low/high halves are accumulated per column (max
+    8 summands < 2^32 each, so column sums stay well under 2^64) and carries
+    are propagated once at the end.
+    """
+    a0, a1, a2, a3 = _limbs64(a)
+    b0, b1, b2, b3 = _limbs64(b)
+
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p02 = a0 * b2
+    p03 = a0 * b3
+    p10 = a1 * b0
+    p11 = a1 * b1
+    p12 = a1 * b2
+    p20 = a2 * b0
+    p21 = a2 * b1
+    p30 = a3 * b0
+
+    c0 = p00 & _LO32
+    c1 = (p00 >> np.uint64(32)) + (p01 & _LO32) + (p10 & _LO32)
+    c2 = (
+        (p01 >> np.uint64(32))
+        + (p10 >> np.uint64(32))
+        + (p02 & _LO32)
+        + (p11 & _LO32)
+        + (p20 & _LO32)
+    )
+    c3 = (
+        (p02 >> np.uint64(32))
+        + (p11 >> np.uint64(32))
+        + (p20 >> np.uint64(32))
+        + (p03 & _LO32)
+        + (p12 & _LO32)
+        + (p21 & _LO32)
+        + (p30 & _LO32)
+    )
+
+    r0 = c0
+    c1 = c1 + (r0 >> np.uint64(32))
+    c2 = c2 + (c1 >> np.uint64(32))
+    c3 = c3 + (c2 >> np.uint64(32))
+    return jnp.stack(
+        [
+            (r0 & _LO32).astype(_U32),
+            (c1 & _LO32).astype(_U32),
+            (c2 & _LO32).astype(_U32),
+            (c3 & _LO32).astype(_U32),
+        ],
+        axis=-1,
+    )
+
+
+def add128(a, b):
+    """(a + b) mod 2^128 over (..., 4) uint32 limbs."""
+    a0, a1, a2, a3 = _limbs64(a)
+    b0, b1, b2, b3 = _limbs64(b)
+    s0 = a0 + b0
+    s1 = a1 + b1 + (s0 >> np.uint64(32))
+    s2 = a2 + b2 + (s1 >> np.uint64(32))
+    s3 = a3 + b3 + (s2 >> np.uint64(32))
+    return jnp.stack(
+        [
+            (s0 & _LO32).astype(_U32),
+            (s1 & _LO32).astype(_U32),
+            (s2 & _LO32).astype(_U32),
+            (s3 & _LO32).astype(_U32),
+        ],
+        axis=-1,
+    )
+
+
+def madd128(m, s, c):
+    """(m*s + c) mod 2^128."""
+    return add128(mul128(m, s), c)
+
+
+def compose_affine(ma, ca, mb, cb):
+    """Compose jump maps: advancing by delta_b then delta_a -> (m, c)."""
+    return mul128(ma, mb), madd128(ma, cb, ca)
+
+
+def bump(state):
+    """One LCG step in limb form."""
+    mult = jnp.asarray(MULT_LIMBS)
+    inc = jnp.asarray(INC_LIMBS)
+    return madd128(jnp.broadcast_to(mult, state.shape), state, inc)
+
+
+def output_u64(state):
+    """XSL-RR permutation -> uint64 values. state: (..., 4) u32 -> (...,) u64."""
+    s = state.astype(_U64)
+    lo = s[..., 0] | (s[..., 1] << np.uint64(32))
+    hi = s[..., 2] | (s[..., 3] << np.uint64(32))
+    rot = (s[..., 3] >> np.uint64(26)).astype(_U64)  # top 6 bits of the state
+    x = hi ^ lo
+    return (x >> rot) | (x << ((np.uint64(64) - rot) & np.uint64(63)))
+
+
+def uniform_from_u64(r, dtype=jnp.float64):
+    """uint64 -> (0, 1] exactly as the reference one_rand<2>.
+
+    ``ldexp((double)(r+1), -64)`` with the all-ones guard returning 1.0
+    (power_spectrum.cpp:284-308).  The uint64 -> float conversion rounds to
+    nearest, matching C.
+    """
+    r1 = r + np.uint64(1)  # wraps to 0 exactly when r == 2^64-1
+    v = r1.astype(dtype) * dtype(2.0**-64)
+    return jnp.where(r == np.uint64(0xFFFFFFFFFFFFFFFF), dtype(1.0), v)
+
+
+def mode_uniform_pair(plane_state, mz, cz, mx, cx, dtype=jnp.float64):
+    """The two uniforms (R, theta_frac) for a batch of modes.
+
+    plane_state: (..., 4) u32 -- the y-plane start state per mode
+    mz, cz:      (..., 4) u32 -- z-axis affine coefficients per mode
+    mx, cx:      (..., 4) u32 -- x-axis affine coefficients per mode
+
+    Returns (R, theta_frac) arrays of the broadcast shape, in (0, 1].
+    """
+    m, c = compose_affine(mz, cz, mx, cx)
+    state = madd128(m, plane_state, c)
+    s1 = bump(state)
+    s2 = bump(s1)
+    return (
+        uniform_from_u64(output_u64(s1), dtype),
+        uniform_from_u64(output_u64(s2), dtype),
+    )
