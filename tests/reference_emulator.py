@@ -1,0 +1,204 @@
+"""Serial emulator of the reference mode-generation algorithm.
+
+A deliberately literal, slow re-expression of the reference pipeline's
+phase-1 semantics (LoadPlane walk with serial RNG skip bookkeeping, mirrored
+Hermitian twin slabs, BlockArray y-shift on reload, y-Nyquist zeroing, ky=0
+fix-up) used ONLY as a test oracle for the vectorized/sharded device
+implementation.  Keeps its own serial RNG walk so that the closed-form
+offset math in zeldovich_tpu.ops is independently validated.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from zeldovich_tpu.ops import pcg
+from zeldovich_tpu.utils.power import PowerSpectrum
+
+
+def cgauss_v2(state, Pk, fixed_power):
+    """Deterministic Box-Muller (2 draws) -> (complex, new_state)."""
+    r1, state = pcg.next_draw(state)
+    r2, state = pcg.next_draw(state)
+    R = pcg.one_rand(r1)
+    theta = pcg.one_rand(r2)
+    if fixed_power:
+        amp = math.sqrt(Pk)
+    else:
+        amp = math.sqrt(-Pk * math.log(R))
+    theta = 2 * math.pi * theta
+    return complex(amp * math.cos(theta), amp * math.sin(theta)), state
+
+
+def emulate_plane(param, Pk, y, state, gen_phi=False, phi_k=None, eig_lookup=None):
+    """One LoadPlane call: returns (slab, her_slab, end_state).
+
+    slab, her_slab: [narray][z][x] complex -- the generated plane y and the
+    per-field-conjugated mirror (as the reference stores into slabHer, i.e.
+    already at reflected (z, x) indices).
+    """
+    ppd = param.ppd
+    half = ppd // 2
+    just_density = param.qdensity == 2
+    narray = 1 if (gen_phi or just_density) else param.narray
+
+    slab = np.zeros((narray, ppd, ppd), dtype=np.complex128)
+    her = np.zeros((narray, ppd, ppd), dtype=np.complex128)
+
+    kmax = int(half * (1.0 / param.k_cutoff) + 0.5)
+    k2_cutoff = param.nyquist**2 / param.k_cutoff**2
+    fund = param.fundamental
+    H0, c = 100.0, 299792.458
+    growth = 1.0 / (1 + param.z_initial)
+    if param.qPLTrescale:
+        a_ratio = (1.0 / (1 + param.PLT_target_z)) / (1.0 / (1 + param.z_initial))
+    else:
+        a_ratio = 1.0
+    target_f = (math.sqrt(1.0 + 24 * param.f_cluster) - 1) / 4.0
+
+    checkpoint = state
+    nskip = 0
+    ky = y
+    for z in range(ppd):
+        if z == half + 1:
+            nskip += (pcg.MAX_PPD - ppd) * pcg.MAX_PPD
+        kz = z - ppd if z > half else z
+        zher = 0 if z == 0 else ppd - z
+        for x in range(ppd):
+            if x == half + 1:
+                nskip += pcg.MAX_PPD - ppd
+            kx = x - ppd if x > half else x
+            xher = 0 if x == 0 else ppd - x
+            k2 = (kx * kx + ky * ky + kz * kz) * fund * fund
+            kmag = math.sqrt(k2)
+
+            zeroed = (
+                abs(kx) == kmax
+                or abs(kz) == kmax
+                or abs(ky) == kmax
+                or (not param.CornerModes and k2 >= k2_cutoff)
+                or (
+                    param.qonemode
+                    and not (
+                        kx == param.one_mode[0]
+                        and ky == param.one_mode[1]
+                        and kz == param.one_mode[2]
+                    )
+                )
+            )
+            if zeroed:
+                D = 0.0 + 0.0j
+                nskip += 1
+            else:
+                if nskip:
+                    state = pcg.advance(state, 2 * nskip)
+                    nskip = 0
+                D, state = cgauss_v2(state, Pk.power(kmag), Pk.fixed_power)
+
+            if k2 == 0.0:
+                k2 = 1.0
+            ik2 = 1.0 / k2
+
+            M = (
+                2.0
+                * growth
+                * c
+                * c
+                * Pk.infer_Tk(kmag)
+                * (kx * kx + ky * ky + kz * kz)
+                * fund
+                * fund
+                / (3.0 * param.Omega_M * H0 * H0)
+            )
+
+            if gen_phi:
+                phi = D / M if M != 0 else 0.0
+                slab[0, z, x] = phi
+                her[0, zher, xher] = np.conj(phi)
+                continue
+
+            if phi_k is not None:
+                if kx == 0 and ky == 0 and kz == 0:
+                    D = 0.0 + 0.0j
+                else:
+                    D = phi_k[y, z, x] * M
+
+            if D != 0.0:
+                if param.qPLT:
+                    evec, ev = eig_lookup(kx, ky, kz)
+                    f = (math.sqrt(1.0 + 24 * ev * param.f_cluster) - 1) * 0.25
+                    rescale = a_ratio ** (target_f - f) if param.qPLTrescale else 1.0
+                else:
+                    evec, ev = (kx, ky, kz), 1.0
+                    f = 1.0
+                    rescale = 1.0
+                F = rescale * 1j * evec[0] * fund * ik2 * D
+                Gv = rescale * 1j * evec[1] * fund * ik2 * D
+                H = rescale * 1j * evec[2] * fund * ik2 * D
+            else:
+                F = Gv = H = 0.0 + 0.0j
+                f = 0.0
+
+            if just_density:
+                slab[0, z, x] = D
+                her[0, zher, xher] = np.conj(D)
+            else:
+                slab[0, z, x] = D + 1j * F
+                slab[1, z, x] = Gv + 1j * H
+                her[0, zher, xher] = np.conj(D) + 1j * np.conj(F)
+                her[1, zher, xher] = np.conj(Gv) + 1j * np.conj(H)
+                if param.qPLT:
+                    slab[2, z, x] = 1j * (F * f)
+                    slab[3, z, x] = Gv * f + 1j * (H * f)
+                    her[2, zher, xher] = 1j * np.conj(F * f)
+                    her[3, zher, xher] = np.conj(Gv * f) + 1j * np.conj(H * f)
+
+    if param.version == 2:
+        state = pcg.advance(state, 2 * nskip)
+        assert pcg.distance(checkpoint, state) == pcg.DRAWS_PER_PLANE
+
+    # ky=0 self-conjugate fix-up (zeldovich.cpp:485-503)
+    if y == 0:
+        for z in range(half):
+            zher = 0 if z == 0 else ppd - z
+            xmax = half if z == 0 else ppd
+            for x in range(xmax):
+                xher = 0 if x == 0 else ppd - x
+                slab[:, zher, xher] = her[:, zher, xher]
+        slab[:, 0, 0] = 0.0
+
+    return slab, her, state
+
+
+def emulate_kgrid(param, Pk, gen_phi=False, phi_k=None, eig_lookup=None):
+    """The final k-grid [narray][y][z][x] as presented to the inverse FFTs.
+
+    Assembly per the BlockArray semantics: generated plane y lands at final
+    index y; its mirror slab (stored at ppd-1-y) lands at ppd-y after the
+    reload y-shift (block_array.cpp:277-291); the shifted-out plane wraps to
+    the y-Nyquist plane which is then zeroed (zeldovich.cpp:644-650).
+    """
+    ppd = param.ppd
+    half = ppd // 2
+    just_density = param.qdensity == 2
+    narray = 1 if (gen_phi or just_density) else param.narray
+    G = np.zeros((narray, ppd, ppd, ppd), dtype=np.complex128)
+
+    states = list(pcg.plane_states(param.seed, half))
+    for y in range(half):
+        slab, her, _ = emulate_plane(
+            param, Pk, y, states[y], gen_phi=gen_phi, phi_k=phi_k, eig_lookup=eig_lookup
+        )
+        G[:, y] = slab
+        if y >= 1:
+            G[:, ppd - y] = her
+    G[:, half] = 0.0
+    return G
+
+
+def inverse_fft3(G):
+    """Unnormalized (FFTW sign +1) inverse FFT over the last three axes."""
+    n = G.shape[-1]
+    return np.fft.ifftn(G, axes=(-3, -2, -1)) * n**3
