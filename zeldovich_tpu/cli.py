@@ -1,0 +1,143 @@
+"""Command-line driver: ``zeldovich <param_file>``.
+
+Mirrors the reference main() (src/zeldovich.cpp:848-1032): reads the
+parameter file, reports the memory plan, runs the (optional) f_NL phi
+pass, mode synthesis, inverse FFT and particle output, then prints the
+physics QA statistics and throughput.
+
+Extras over the reference CLI:
+  --part {1,2}     two-phase run: part 1 synthesizes and checkpoints the
+                   k-space state (the reference's PART1/PART2 compile-time
+                   split, zeldovich.cpp:835-846); part 2 resumes from it.
+  --dtype          float64 (default; matches the reference numerics) or
+                   float32 (fast path for TPU).
+  --profile DIR    wrap the run in a jax.profiler trace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="zeldovich", description="TPU-native Zel'dovich/PLT IC generator"
+    )
+    ap.add_argument("param_file", help="ParseHeader-style parameter file")
+    ap.add_argument("--part", type=int, choices=(1, 2), default=None)
+    ap.add_argument(
+        "--dtype", choices=("float64", "float32"), default="float64"
+    )
+    ap.add_argument("--profile", metavar="DIR", default=None)
+    args = ap.parse_args(argv)
+
+    t_total = time.perf_counter()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # u64 RNG limbs require x64
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.pipeline import Zeldovich
+    from .utils.output import OutputWriter, setup_output_dir
+    from .utils.params import Parameters
+    from .utils.timers import PhaseTimers
+
+    if args.part:
+        print(f"This is zeldovich part {args.part}", file=sys.stderr)
+
+    from .utils.parseheader import ParseError
+    from .utils.params import ParameterError
+
+    try:
+        param = Parameters.from_file(args.param_file)
+    except FileNotFoundError as e:
+        print(f"Parameter file not found: {e.filename}", file=sys.stderr)
+        return 1
+    except (ParameterError, ParseError) as e:
+        print(f"Invalid parameters: {e}", file=sys.stderr)
+        return 1
+    print(f"Generating ICs for ppd = {param.ppd}", file=sys.stderr)
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    itemsize = 16 if args.dtype == "float64" else 8
+
+    mem_narray = param.narray + (1 if param.f_NL != 0 else 0)
+    gib = (param.ppd / 1024.0) ** 3 * mem_narray * itemsize
+    print(
+        f"Device-resident k-space state: {gib:5.3f} GiB "
+        f"({mem_narray} complex arrays, {args.dtype})",
+        file=sys.stderr,
+    )
+    if param.k_cutoff != 1:
+        print(
+            f"Using k_cutoff = {param.k_cutoff:f} (effective ppd = "
+            f"{int(param.ppd / param.k_cutoff + 0.5)})",
+            file=sys.stderr,
+        )
+
+    timers = PhaseTimers()
+    ckpt = param.output_path / "zeldovich.kspace.npy"
+
+    profile_ctx = None
+    if args.profile:
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
+    try:
+        with timers.phase("Model setup (P(k), RNG tables, eigenmodes)"):
+            model = Zeldovich(param, dtype=dtype)
+
+        if args.part != 2:
+            setup_output_dir(param)
+
+        if args.part == 2:
+            with timers.phase("Loading k-space checkpoint"):
+                kgrid = jnp.asarray(np.load(ckpt))
+        else:
+            with timers.phase("Mode synthesis (+ f_NL phi pass)"):
+                kgrid = model.kspace()
+                kgrid.block_until_ready()
+
+        if args.part == 1:
+            with timers.phase("Writing k-space checkpoint"):
+                np.save(ckpt, np.asarray(kgrid))
+            timers.report()
+            print(f"Checkpoint written to {ckpt}", file=sys.stderr)
+            return 0
+
+        with timers.phase("Inverse FFT"):
+            x = model.xspace(kgrid)
+            x.block_until_ready()
+        del kgrid
+
+        with timers.phase("Output"):
+            writer = OutputWriter(param)
+            xh = np.asarray(x)
+            for z in range(param.ppd):
+                writer.write_slab(z, xh[:, :, z, :])
+            writer.close()
+
+        if args.part == 2 and ckpt.exists():
+            ckpt.unlink()
+
+        writer.report(model.Pk)
+        timers.report()
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+    elapsed = time.perf_counter() - t_total
+    print(
+        f"zeldovich took {elapsed:.4g} sec for ppd {param.ppd} ==> "
+        f"{param.np / 1e6 / elapsed:.3g} Mpart/sec",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""The end-to-end IC generation pipeline (single-host orchestration).
+
+Phases mirror the reference driver (src/zeldovich.cpp:848-1032) but the
+dataflow is the TPU-native one:
+
+1. [f_NL only] phi pass: synthesize phi(k) -> inverse FFT -> apply local
+   non-Gaussianity in configuration space -> forward FFT
+   (ZeldovichZ(gen_phi) + ZeldovichXY_Phi, zeldovich.cpp:699-790).
+2. Mode synthesis of the packed displacement/velocity arrays (ZeldovichZ).
+3. Unnormalized inverse 3-D FFT (the z-pass + BlockArray transpose +
+   xy-pass collapse into one sharded FFT; no disk, no y-shift bookkeeping).
+4. Per-z-slab decode + serialization (ZeldovichXY's WriteParticlesSlab).
+
+The k-space state between phases 2 and 3 is the PART1/PART2 checkpoint
+boundary (the reference's on-disk BlockArray, zeldovich.cpp:835-846).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fft, plt as plt_ops
+from ..ops.modes import SynthConfig, SynthTables, synthesize_slab
+from ..utils.output import OutputWriter, setup_output_dir
+from ..utils.params import Parameters
+from ..utils.power import PowerSpectrum, mode_amplitude_tables
+
+
+class Zeldovich:
+    """Flagship model: parameters -> displacement/velocity fields."""
+
+    def __init__(self, param: Parameters, dtype=jnp.float64):
+        self.param = param
+        self.dtype = dtype
+        self.cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        self.Pk = PowerSpectrum(param)
+        pk_n2, M_n2 = mode_amplitude_tables(self.Pk, param)
+        self.cfg = SynthConfig.from_params(param, self.Pk.fixed_power)
+        eig = None
+        if param.qPLT:
+            print("Using PLT eigenmodes.", file=sys.stderr)
+            eig = plt_ops.load_eigmodes(param.resolve_path(param.PLT_filename))
+        self.tables = SynthTables.build(
+            param.seed, param.ppd, pk_n2, M_n2=M_n2, eig=eig
+        )
+
+    # -- phases --------------------------------------------------------
+    def phi_kspace(self):
+        """f_NL round trip -> phi(k) with local non-Gaussianity applied."""
+        p = self.param
+        phi_cfg = SynthConfig.from_params(p, self.Pk.fixed_power)
+        phi_k = synthesize_slab(
+            0, p.ppd, phi_cfg, self.tables, dtype=self.dtype, gen_phi=True
+        )[0]
+        return _phi_nonlinear(phi_k, self.dtype(p.f_NL))
+
+    def kspace(self):
+        """The packed k-space arrays (narray, ppd, ppd, ppd)."""
+        p = self.param
+        phi_k = self.phi_kspace() if p.f_NL != 0 else None
+        return synthesize_slab(
+            0, p.ppd, self.cfg, self.tables, dtype=self.dtype, phi_k=phi_k
+        )
+
+    def xspace(self, kgrid=None):
+        """Inverse-FFT'd configuration-space arrays (narray, y, z, x)."""
+        if kgrid is None:
+            kgrid = self.kspace()
+        return _ifft_all(kgrid)
+
+    # -- full run ------------------------------------------------------
+    def run(self, setup_dir: bool = True) -> OutputWriter:
+        p = self.param
+        if setup_dir:
+            setup_output_dir(p)
+        writer = OutputWriter(p)
+        x = np.asarray(self.xspace())
+        for z in range(p.ppd):
+            writer.write_slab(z, x[:, :, z, :])
+        writer.close()
+        writer.report(self.Pk)
+        return writer
+
+
+@jax.jit
+def _ifft_all(kgrid):
+    return fft.ifft3(kgrid, axes=(1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=())
+def _phi_nonlinear(phi_k, f_NL):
+    """phi(k) -> config space -> phi + f_NL phi^2 -> back to k space.
+
+    Matches ZeldovichXY_Phi: the inverse FFT is unnormalized, so the
+    round-trip 1/ppd^3 is folded into the non-linear map
+    (zeldovich.cpp:749-759).
+    """
+    n = phi_k.shape[-1]
+    phi_x = fft.ifft3(phi_k).real
+    phi_x = (phi_x + f_NL * phi_x * phi_x) * (1.0 / n**3)
+    return fft.fft3(phi_x.astype(phi_k.dtype))

@@ -1,0 +1,216 @@
+"""Particle output: Abacus-compatible binary formats, density file, stats.
+
+Byte layouts are identical to the reference's C++ structs including
+alignment padding (include/output.h:19-42; sizes/offsets verified against a
+compiled oracle): RVZel (32 B, displ@8, vel@20), RVdoubleZel (56 B,
+displ@8, vel@32), Zeldovich (32 B, displ@8), ZelSimple (12 B).
+
+Decoding follows src/output.cpp:41-234: displacements come from the packed
+inverse-FFT'd complex planes (pos = [Im A, Re B, Im B]), velocities from
+the PLT velocity arrays or ``vnorm * displ`` with the f_cluster growth
+factor; records store (i,j,k) = (z,y,x) lattice coords and displ/vel in
+(z,y,x) component order; slab z appends to ``ic_{z*CPD/PPD}``.
+
+The per-slab decode is vectorized numpy on host (the device hands back one
+z-slab at a time), with the same global stats: sum of squared pixel density
+and component-wise signed max displacement.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .params import Parameters
+
+_RVZEL = np.dtype(
+    {
+        "names": ["i", "j", "k", "displ", "vel"],
+        "formats": ["<u2", "<u2", "<u2", "<3f4", "<3f4"],
+        "offsets": [0, 2, 4, 8, 20],
+        "itemsize": 32,
+    }
+)
+
+_RVDOUBLEZEL = np.dtype(
+    {
+        "names": ["i", "j", "k", "displ", "vel"],
+        "formats": ["<u2", "<u2", "<u2", "<3f8", "<3f8"],
+        "offsets": [0, 2, 4, 8, 32],
+        "itemsize": 56,
+    }
+)
+
+_ZEL = np.dtype(
+    {
+        "names": ["i", "j", "k", "displ"],
+        "formats": ["<u2", "<u2", "<u2", "<3f8"],
+        "offsets": [0, 2, 4, 8],
+        "itemsize": 32,
+    }
+)
+
+_ZELSIMPLE = np.dtype({"names": ["displ"], "formats": ["<3f4"], "offsets": [0], "itemsize": 12})
+
+OUTPUT_DTYPES = {
+    "RVZel": _RVZEL,
+    "RVdoubleZel": _RVDOUBLEZEL,
+    "Zeldovich": _ZEL,
+    "ZelSimple": _ZELSIMPLE,
+}
+
+
+def output_dtype(icformat: str) -> np.dtype:
+    try:
+        return OUTPUT_DTYPES[icformat]
+    except KeyError:
+        raise ValueError(f'unknown ICFormat "{icformat}"') from None
+
+
+def setup_output_dir(param: Parameters):
+    """Remove stale ic_* / zeldovich.* files; create the directory."""
+    out = param.output_path
+    if out.exists():
+        for entry in out.iterdir():
+            if entry.is_file() and (
+                entry.name.startswith("ic_") or entry.name.startswith("zeldovich.")
+            ):
+                entry.unlink()
+    out.mkdir(parents=True, exist_ok=True)
+
+
+@dataclass
+class OutputWriter:
+    """Streams decoded z-slabs into ic_* files; accumulates global stats."""
+
+    param: Parameters
+    density_variance: float = 0.0
+    max_disp: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    bytes_written: int = 0
+    _densfp: object = None
+
+    def __post_init__(self):
+        p = self.param
+        self.just_density = p.qdensity == 2
+        if not self.just_density:
+            self.dtype = output_dtype(p.ICFormat)
+        if p.qdensity:
+            name = str(p.density_filename).replace("{:d}", "{}").format(p.ppd)
+            self._densfp = open(p.output_path / name, "wb")
+
+    # ------------------------------------------------------------------
+    def decode_slab(self, z: int, slabs: np.ndarray):
+        """Decode one z-slab.
+
+        slabs: (narray, ppd, ppd) complex, [a][y][x] after the full inverse
+        FFT.  Returns (records or None, density or None).
+        """
+        p = self.param
+        ppd = p.ppd
+        A = slabs[0]
+        dens = A.real  # densitynorm = 1
+
+        if self.just_density:
+            return None, dens
+
+        B = slabs[1]
+        pos = np.empty((3, ppd, ppd))
+        pos[0] = A.imag
+        pos[1] = B.real
+        pos[2] = B.imag
+
+        if p.qPLT:
+            V1, V2 = slabs[2], slabs[3]
+            vel = np.empty((3, ppd, ppd))
+            vel[0] = V1.imag
+            vel[1] = V2.real
+            vel[2] = V2.imag
+        else:
+            vnorm = (math.sqrt(1.0 + 24 * p.f_cluster) - 1) * 0.25
+            vel = pos * vnorm
+
+        rec = np.zeros((ppd, ppd), dtype=self.dtype)
+        names = self.dtype.names
+        if "i" in names:
+            rec["i"] = z
+            rec["j"] = np.arange(ppd, dtype=np.uint16)[:, None]
+            rec["k"] = np.arange(ppd, dtype=np.uint16)[None, :]
+        # (z, y, x) component order (output.cpp:133-138)
+        rec["displ"][..., 0] = pos[2]
+        rec["displ"][..., 1] = pos[1]
+        rec["displ"][..., 2] = pos[0]
+        if "vel" in names:
+            rec["vel"][..., 0] = vel[2]
+            rec["vel"][..., 1] = vel[1]
+            rec["vel"][..., 2] = vel[0]
+
+        # global stats: signed component-wise max displacement
+        for j in range(3):
+            flat = pos[j].ravel()
+            idx = np.argmax(np.abs(flat))
+            if abs(flat[idx]) > abs(self.max_disp[j]):
+                self.max_disp[j] = flat[idx]
+        return rec, dens
+
+    def write_slab(self, z: int, slabs: np.ndarray):
+        """Decode + append one z-slab to its ic_ file (and density file)."""
+        p = self.param
+        if p.qoneslab >= 0 and z != p.qoneslab:
+            return
+        rec, dens = self.decode_slab(z, slabs)
+        self.density_variance += float(np.sum(dens * dens))
+        if rec is not None:
+            fn = p.output_path / f"ic_{z * p.cpd // p.ppd}"
+            with open(fn, "ab") as fp:
+                rec.tofile(fp)
+            self.bytes_written += rec.nbytes
+        if p.qdensity:
+            dens.astype(np.float32).tofile(self._densfp)
+            self.bytes_written += dens.size * 4
+
+    def close(self):
+        if self._densfp is not None:
+            self._densfp.close()
+            self._densfp = None
+
+    # ------------------------------------------------------------------
+    def report(self, Pk) -> dict:
+        """Final statistics, printed like the reference (zeldovich.cpp:987-1011)."""
+        p = self.param
+        rms = math.sqrt(self.density_variance / p.ppd**3)
+        pred = Pk.sigmaR(p.separation / 4.0) * p.boxsize**1.5
+        out = {
+            "rms_density": rms,
+            "rms_density_prediction": pred,
+            "max_disp": tuple(self.max_disp),
+        }
+        print(f"The rms density variation of the pixels is {rms:f}", file=sys.stderr)
+        print(
+            f"This could be compared to the P(k) prediction of {pred:f}",
+            file=sys.stderr,
+        )
+        if not self.just_density:
+            print(
+                "The maximum component-wise displacements are "
+                f"({self.max_disp[0]:g}, {self.max_disp[1]:g}, {self.max_disp[2]:g}), "
+                "same units as BoxSize.",
+                file=sys.stderr,
+            )
+            if self.max_disp[2] != 0:
+                out["max_cpd"] = int(p.boxsize / (2 * abs(self.max_disp[2])))
+                print(
+                    "For Abacus' 2LPT implementation to work (assuming "
+                    "FINISH_WAIT_RADIUS = 1),\n\tthis implies a maximum CPD of "
+                    f"{out['max_cpd']}",
+                    file=sys.stderr,
+                )
+        return out
+
+
+def read_particles(path, icformat: str) -> np.ndarray:
+    """Read an ic_* file back into a structured array (for tests/tools)."""
+    return np.fromfile(path, dtype=output_dtype(icformat))
