@@ -1,0 +1,116 @@
+"""Multi-device (8-way virtual CPU mesh) parity with the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathlib import Path
+
+from zeldovich_tpu.models.pipeline import Zeldovich
+from zeldovich_tpu.ops import fft
+from zeldovich_tpu.parallel.mesh import grid_sharding, make_mesh
+from zeldovich_tpu.parallel.pencil_fft import fft3_sharded, ifft3_sharded
+from zeldovich_tpu.parallel.synthesis import reflected, synthesize_sharded
+from zeldovich_tpu.utils.params import Parameters
+
+ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def make_params(ppd=16, **over):
+    d = dict(
+        BoxSize=100.0,
+        NP=ppd**3,
+        CPD=100,
+        ICFormat="RVZel",
+        InitialConditionsDirectory="/tmp/ic",
+        InitialRedshift=49.0,
+        ZD_Seed=12346,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.02,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+        ZD_Version=2,
+    )
+    d.update(over)
+    return Parameters.from_dict(d)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_pencil_ifft_matches_dense(mesh_shape):
+    mesh = make_mesh(mesh_shape=mesh_shape)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(2, 16, 16, 16)) + 1j * rng.normal(size=(2, 16, 16, 16))
+    ga = jax.device_put(jnp.asarray(a), grid_sharding(mesh))
+    got = np.asarray(ifft3_sharded(ga, mesh))
+    want = np.asarray(fft.ifft3(jnp.asarray(a), axes=(1, 2, 3)))
+    np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+    got_f = np.asarray(fft3_sharded(ga, mesh))
+    want_f = np.asarray(fft.fft3(jnp.asarray(a), axes=(1, 2, 3)))
+    np.testing.assert_allclose(got_f, want_f, atol=1e-10 * np.abs(want_f).max())
+
+
+def test_reflected():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(4, 6, 8))
+    got = np.asarray(reflected(jnp.asarray(a)))
+    n0, n1, n2 = a.shape
+    want = a[(-np.arange(n0)) % n0][:, (-np.arange(n1)) % n1][
+        :, :, (-np.arange(n2)) % n2
+    ]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_synthesis_matches_single():
+    param = make_params(ppd=16)
+    model = Zeldovich(param)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    got = np.asarray(synthesize_sharded(model.cfg, model.tables, mesh))
+    want = np.asarray(model.kspace())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_end_to_end_matches_single():
+    param = make_params(ppd=16)
+    model = Zeldovich(param)
+    mesh = make_mesh(mesh_shape=(2, 2), devices=jax.devices()[:4])
+    got = np.asarray(model.xspace_sharded(mesh))
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+def test_sharded_f_NL_matches_single():
+    param = make_params(ppd=16, ZD_f_NL=30.0, ZD_n_s=0.96, Omega_M=0.3)
+    model = Zeldovich(param)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    got = np.asarray(model.xspace_sharded(mesh))
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+
+def test_jit_end_to_end_sharded_compiles_once():
+    param = make_params(ppd=16)
+    model = Zeldovich(param)
+    mesh = make_mesh(mesh_shape=(4, 2))
+
+    @jax.jit
+    def step(tables):
+        from zeldovich_tpu.parallel.pencil_fft import ifft3_sharded
+        from zeldovich_tpu.parallel.synthesis import synthesize_sharded
+
+        k = synthesize_sharded(model.cfg, tables, mesh, dtype=model.dtype)
+        return ifft3_sharded(k, mesh)
+
+    out = step(model.tables)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(model.xspace()),
+        atol=1e-11 * float(jnp.abs(out).max()),
+    )

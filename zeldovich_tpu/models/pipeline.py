@@ -73,6 +73,34 @@ class Zeldovich:
             kgrid = self.kspace()
         return _ifft_all(kgrid)
 
+    # -- sharded phases (multi-chip: mesh over ("z", "y")) --------------
+    def kspace_sharded(self, mesh):
+        """Packed k-space arrays sharded (None, "y", "z", None) on mesh."""
+        from ..parallel.pencil_fft import fft3_sharded, ifft3_sharded
+        from ..parallel.synthesis import synthesize_sharded
+
+        p = self.param
+        phi_k = None
+        if p.f_NL != 0:
+            phi4 = synthesize_sharded(
+                self.cfg, self.tables, mesh, dtype=self.dtype, gen_phi=True
+            )
+            n = p.ppd
+            phi_x = ifft3_sharded(phi4, mesh).real
+            phi_x = (phi_x + self.dtype(p.f_NL) * phi_x * phi_x) * (1.0 / n**3)
+            phi_k = fft3_sharded(phi_x.astype(self.cdtype), mesh)[0]
+        return synthesize_sharded(
+            self.cfg, self.tables, mesh, dtype=self.dtype, phi_k=phi_k
+        )
+
+    def xspace_sharded(self, mesh, kgrid=None):
+        """Sharded end-to-end forward: synthesis + pencil inverse FFT."""
+        from ..parallel.pencil_fft import ifft3_sharded
+
+        if kgrid is None:
+            kgrid = self.kspace_sharded(mesh)
+        return ifft3_sharded(kgrid, mesh)
+
     # -- full run ------------------------------------------------------
     def run(self, setup_dir: bool = True) -> OutputWriter:
         p = self.param

@@ -157,9 +157,14 @@ def hermitian_source(y, z, x, ppd: int):
     return sy, sz, sx, mirror, hard_zero
 
 
-def _raw_fields(sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_k=None):
+def _raw_fields(
+    sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_val=None
+):
     """Compute the four field coefficients (D, F, G, H) and PLT growth f at
-    the *source* (generator half-space) index.  All elementwise."""
+    the *source* (generator half-space) index.  All elementwise.
+
+    phi_val: phi(k) already evaluated at the source index (f_NL input pass).
+    """
     ppd, half = cfg.ppd, cfg.ppd // 2
     fdt = dtype
     cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -170,7 +175,7 @@ def _raw_fields(sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_k=
     n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
     k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
 
-    if phi_k is not None:
+    if phi_val is not None:
         # f_NL input pass: D is unconditionally phi(k) * M(k) except at the
         # origin (zeldovich.cpp:393-400).  The mode-zeroing rules were
         # already applied when phi was generated; the f_NL mode coupling
@@ -190,7 +195,7 @@ def _raw_fields(sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_k=
             om = cfg.one_mode
             zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
 
-    if phi_k is None:
+    if phi_val is None:
         # Gaussian deviate scaled by sqrt(P(k)): deterministic Box-Muller,
         # exactly 2 draws per mode (power_spectrum.cpp:338-359).
         sy_rng = jnp.minimum(sy, half - 1)  # y-Nyquist rows are zeroed anyway
@@ -211,7 +216,7 @@ def _raw_fields(sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_k=
         D = jax.lax.complex(amp * jnp.cos(theta), amp * jnp.sin(theta)).astype(cdt)
     else:
         # f_NL input pass: delta(k) = phi(k) * M(k)  (zeldovich.cpp:393-400)
-        D = phi_k[sy, sz, sx] * tables.M_n2[n2].astype(fdt)
+        D = phi_val * tables.M_n2[n2].astype(fdt)
 
     D = jnp.where(zero, cdt(0), D)
 
@@ -255,6 +260,12 @@ def synthesize(
     y, z, x: broadcastable integer index arrays (e.g. an open meshgrid).
     Returns a complex array of shape (narray, *broadcast_shape) -- or
     (1, ...) carrying phi(k) when ``gen_phi``.
+
+    phi_k (f_NL input pass) is either the full global phi(k) grid (gathered
+    at the Hermitian source index) or, for sharded execution, a tuple
+    ``(phi_block, phi_refl_block)`` of local blocks matching the output
+    shape -- phi at (y,z,x) and at the reflected index -- so no cross-shard
+    gather is needed.
     """
     cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     ppd = cfg.ppd
@@ -262,6 +273,14 @@ def synthesize(
         jnp.asarray(y), jnp.asarray(z), jnp.asarray(x)
     )
     sy, sz, sx, mirror, hard_zero = hermitian_source(y, z, x, ppd)
+
+    phi_val = None
+    if phi_k is not None and not gen_phi:
+        if isinstance(phi_k, tuple):
+            phi_same, phi_refl = phi_k
+            phi_val = jnp.where(mirror, phi_refl, phi_same)
+        else:
+            phi_val = phi_k[sy, sz, sx]
 
     if gen_phi:
         # phi(k) = D / M  (zeldovich.cpp:385-391), narray = 1
@@ -277,7 +296,7 @@ def synthesize(
         phi = jnp.where(hard_zero, cdt(0), phi)
         return phi[None]
 
-    D, F, G, H, f = _raw_fields(sy, sz, sx, cfg, tables, dtype, phi_k=phi_k)
+    D, F, G, H, f = _raw_fields(sy, sz, sx, cfg, tables, dtype, phi_val=phi_val)
 
     def C(w):
         return jnp.where(mirror, w.conj(), w)

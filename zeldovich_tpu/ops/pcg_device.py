@@ -145,11 +145,19 @@ def uniform_from_u64(r, dtype=jnp.float64):
     """uint64 -> (0, 1] exactly as the reference one_rand<2>.
 
     ``ldexp((double)(r+1), -64)`` with the all-ones guard returning 1.0
-    (power_spectrum.cpp:284-308).  The uint64 -> float conversion rounds to
-    nearest, matching C.
+    (power_spectrum.cpp:284-308).
+
+    The uint64 -> double conversion must round to nearest like C.  TPU's
+    emulated u64->f64 convert does not (observed mis-rounding for values
+    >= 2^53), so the double is assembled from two *exact* u32->f64
+    converts: hi*2^32 and lo are both exact doubles, and their one f64
+    addition is correctly rounded -- giving round-to-nearest(r+1) on any
+    backend.
     """
     r1 = r + np.uint64(1)  # wraps to 0 exactly when r == 2^64-1
-    v = r1.astype(dtype) * dtype(2.0**-64)
+    hi = (r1 >> np.uint64(32)).astype(_U32)
+    lo = (r1 & np.uint64(0xFFFFFFFF)).astype(_U32)
+    v = (hi.astype(dtype) * dtype(2.0**32) + lo.astype(dtype)) * dtype(2.0**-64)
     return jnp.where(r == np.uint64(0xFFFFFFFFFFFFFFFF), dtype(1.0), v)
 
 
