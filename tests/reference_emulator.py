@@ -15,7 +15,32 @@ import math
 import numpy as np
 
 from zeldovich_tpu.ops import pcg
+from zeldovich_tpu.ops.mt19937 import MT19937
 from zeldovich_tpu.utils.power import PowerSpectrum
+
+
+class V1Rng:
+    """Scalar GSL-style mt19937 stream with the reference's rejection
+    Box-Muller (cgauss<1>, power_spectrum.cpp:310-332)."""
+
+    def __init__(self, seed):
+        self._m = MT19937(seed)
+
+    def uniform(self):
+        return float(self._m.integers(1)[0]) * 2.0**-32
+
+    def cgauss(self, Pk, fixed_power):
+        while True:
+            p1 = self.uniform() * 2.0 - 1.0
+            p2 = self.uniform() * 2.0 - 1.0
+            r2 = p1 * p1 + p2 * p2
+            if 0.0 < r2 < 1.0:
+                break
+        if fixed_power:
+            r2 = math.sqrt(Pk / r2)
+        else:
+            r2 = math.sqrt(-Pk * math.log(r2) / r2)
+        return complex(p1 * r2, p2 * r2)
 
 
 def cgauss_v2(state, Pk, fixed_power):
@@ -32,7 +57,9 @@ def cgauss_v2(state, Pk, fixed_power):
     return complex(amp * math.cos(theta), amp * math.sin(theta)), state
 
 
-def emulate_plane(param, Pk, y, state, gen_phi=False, phi_k=None, eig_lookup=None):
+def emulate_plane(
+    param, Pk, y, state, gen_phi=False, phi_k=None, eig_lookup=None, v1_rng=None
+):
     """One LoadPlane call: returns (slab, her_slab, end_state).
 
     slab, her_slab: [narray][z][x] complex -- the generated plane y and the
@@ -58,7 +85,7 @@ def emulate_plane(param, Pk, y, state, gen_phi=False, phi_k=None, eig_lookup=Non
         a_ratio = 1.0
     target_f = (math.sqrt(1.0 + 24 * param.f_cluster) - 1) / 4.0
 
-    checkpoint = state
+    checkpoint = state if param.version == 2 else None
     nskip = 0
     ky = y
     for z in range(ppd):
@@ -91,6 +118,8 @@ def emulate_plane(param, Pk, y, state, gen_phi=False, phi_k=None, eig_lookup=Non
             if zeroed:
                 D = 0.0 + 0.0j
                 nskip += 1
+            elif param.version == 1:
+                D = v1_rng.cgauss(Pk.power(kmag), Pk.fixed_power)
             else:
                 if nskip:
                     state = pcg.advance(state, 2 * nskip)
@@ -185,6 +214,26 @@ def emulate_kgrid(param, Pk, gen_phi=False, phi_k=None, eig_lookup=None):
     just_density = param.qdensity == 2
     narray = 1 if (gen_phi or just_density) else param.narray
     G = np.zeros((narray, ppd, ppd, ppd), dtype=np.complex128)
+
+    if param.version == 1:
+        # per-y-residual MT19937 streams, y-blocks processed serially
+        block = ppd // param.numblock
+        rngs = [V1Rng(param.seed + i) for i in range(block)]
+        order = [
+            (yb * block + yr, yr)
+            for yb in range(param.numblock // 2)
+            for yr in range(block)
+        ]
+        for y, yr in order:
+            slab, her, _ = emulate_plane(
+                param, Pk, y, None, gen_phi=gen_phi, phi_k=phi_k,
+                eig_lookup=eig_lookup, v1_rng=rngs[yr],
+            )
+            G[:, y] = slab
+            if y >= 1:
+                G[:, ppd - y] = her
+        G[:, half] = 0.0
+        return G
 
     states = list(pcg.plane_states(param.seed, half))
     for y in range(half):

@@ -156,3 +156,33 @@ def test_hermitian_symmetry_gives_real_field():
         Fx = np.fft.ifftn(F, axes=(0, 1, 2))
         assert np.abs(Dx.imag).max() < 1e-15 * max(np.abs(Dx.real).max(), 1e-30)
         assert np.abs(Fx.imag).max() < 1e-15 * max(np.abs(Fx.real).max(), 1e-30)
+
+
+def test_v1_matches_emulator():
+    """Legacy ZD_Version=1 (MT19937 + rejection) vs the serial emulator."""
+    import jax.numpy as jnp
+    from zeldovich_tpu.ops import v1 as v1_ops
+
+    param, Pk, cfg, tables = make_setup(ppd=8, ZD_Version=1, ZD_NumBlock=4)
+    from zeldovich_tpu.utils.power import mode_amplitude_tables
+
+    pk_n2, _ = mode_amplitude_tables(Pk, param)
+    D = jnp.asarray(v1_ops.generate_D_half(param, Pk, pk_n2))
+    got = np.asarray(synthesize_slab(0, 8, cfg, tables, D_source=D))
+    want = emulate_kgrid(param, Pk)
+    assert_grids_match(got, want)
+
+
+def test_v1_numblock_changes_phases():
+    """v1 phases depend on ZD_NumBlock (the documented v1 defect)."""
+    import jax.numpy as jnp
+    from zeldovich_tpu.ops import v1 as v1_ops
+    from zeldovich_tpu.utils.power import mode_amplitude_tables
+
+    outs = []
+    for nb in (2, 4):
+        param, Pk, cfg, tables = make_setup(ppd=8, ZD_Version=1, ZD_NumBlock=nb)
+        pk_n2, _ = mode_amplitude_tables(Pk, param)
+        D = v1_ops.generate_D_half(param, Pk, pk_n2)
+        outs.append(D)
+    assert not np.allclose(outs[0], outs[1])

@@ -48,6 +48,14 @@ class Zeldovich:
         self.tables = SynthTables.build(
             param.seed, param.ppd, pk_n2, M_n2=M_n2, eig=eig
         )
+        self._D_source = None
+        if param.version == 1:
+            # legacy MT19937 stream, generated host-side (ops/v1.py)
+            from ..ops import v1
+
+            self._D_source = jnp.asarray(
+                v1.generate_D_half(param, self.Pk, pk_n2)
+            )
 
     # -- phases --------------------------------------------------------
     def phi_kspace(self):
@@ -55,7 +63,13 @@ class Zeldovich:
         p = self.param
         phi_cfg = SynthConfig.from_params(p, self.Pk.fixed_power)
         phi_k = synthesize_slab(
-            0, p.ppd, phi_cfg, self.tables, dtype=self.dtype, gen_phi=True
+            0,
+            p.ppd,
+            phi_cfg,
+            self.tables,
+            dtype=self.dtype,
+            gen_phi=True,
+            D_source=self._D_source,
         )[0]
         return _phi_nonlinear(phi_k, self.dtype(p.f_NL))
 
@@ -64,7 +78,13 @@ class Zeldovich:
         p = self.param
         phi_k = self.phi_kspace() if p.f_NL != 0 else None
         return synthesize_slab(
-            0, p.ppd, self.cfg, self.tables, dtype=self.dtype, phi_k=phi_k
+            0,
+            p.ppd,
+            self.cfg,
+            self.tables,
+            dtype=self.dtype,
+            phi_k=phi_k,
+            D_source=self._D_source,
         )
 
     def xspace(self, kgrid=None):
@@ -79,6 +99,12 @@ class Zeldovich:
         from ..parallel.pencil_fft import fft3_sharded, ifft3_sharded
         from ..parallel.synthesis import synthesize_sharded
 
+        if self._D_source is not None:
+            raise NotImplementedError(
+                "ZD_Version=1 is a legacy back-compat path; use the "
+                "single-host pipeline (its phases depend on ZD_NumBlock "
+                "and it is host-generated)"
+            )
         p = self.param
         phi_k = None
         if p.f_NL != 0:

@@ -158,12 +158,15 @@ def hermitian_source(y, z, x, ppd: int):
 
 
 def _raw_fields(
-    sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_val=None
+    sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_val=None,
+    D_source=None,
 ):
     """Compute the four field coefficients (D, F, G, H) and PLT growth f at
     the *source* (generator half-space) index.  All elementwise.
 
     phi_val: phi(k) already evaluated at the source index (f_NL input pass).
+    D_source: precomputed delta(k) on the generated half-space
+    (ppd/2, ppd, ppd) -- the legacy ZD_Version=1 host-generated field.
     """
     ppd, half = cfg.ppd, cfg.ppd // 2
     fdt = dtype
@@ -195,7 +198,14 @@ def _raw_fields(
             om = cfg.one_mode
             zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
 
-    if phi_val is None:
+    if phi_val is not None:
+        pass
+    elif D_source is not None:
+        # legacy v1 field, generated host-side (ops/v1.py)
+        D = D_source[sy, sz, sx].astype(
+            jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        )
+    else:
         # Gaussian deviate scaled by sqrt(P(k)): deterministic Box-Muller,
         # exactly 2 draws per mode (power_spectrum.cpp:338-359).
         sy_rng = jnp.minimum(sy, half - 1)  # y-Nyquist rows are zeroed anyway
@@ -214,7 +224,7 @@ def _raw_fields(
             amp = jnp.sqrt(-Pk * jnp.log(R))
         theta = fdt(2 * np.pi) * T
         D = jax.lax.complex(amp * jnp.cos(theta), amp * jnp.sin(theta)).astype(cdt)
-    else:
+    if phi_val is not None:
         # f_NL input pass: delta(k) = phi(k) * M(k)  (zeldovich.cpp:393-400)
         D = phi_val * tables.M_n2[n2].astype(fdt)
 
@@ -254,6 +264,7 @@ def synthesize(
     dtype=jnp.float64,
     gen_phi: bool = False,
     phi_k=None,
+    D_source=None,
 ):
     """Synthesize the packed k-space arrays for output grid indices.
 
@@ -284,7 +295,9 @@ def synthesize(
 
     if gen_phi:
         # phi(k) = D / M  (zeldovich.cpp:385-391), narray = 1
-        D, _, _, _, _ = _raw_fields(sy, sz, sx, cfg, tables, dtype)
+        D, _, _, _, _ = _raw_fields(
+            sy, sz, sx, cfg, tables, dtype, D_source=D_source
+        )
         half = ppd // 2
         ky = sy
         kz = jnp.where(sz > half, sz - ppd, sz)
@@ -296,7 +309,9 @@ def synthesize(
         phi = jnp.where(hard_zero, cdt(0), phi)
         return phi[None]
 
-    D, F, G, H, f = _raw_fields(sy, sz, sx, cfg, tables, dtype, phi_val=phi_val)
+    D, F, G, H, f = _raw_fields(
+        sy, sz, sx, cfg, tables, dtype, phi_val=phi_val, D_source=D_source
+    )
 
     def C(w):
         return jnp.where(mirror, w.conj(), w)
@@ -328,10 +343,14 @@ def synthesize_slab(
     dtype=jnp.float64,
     gen_phi: bool = False,
     phi_k=None,
+    D_source=None,
 ):
     """Synthesize a y-slab [y0, y0+ny) of the full k-grid: (narray, ny, ppd, ppd)."""
     ppd = cfg.ppd
     y = (y0 + jnp.arange(ny))[:, None, None]
     z = jnp.arange(ppd)[None, :, None]
     x = jnp.arange(ppd)[None, None, :]
-    return synthesize(y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_k=phi_k)
+    return synthesize(
+        y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_k=phi_k,
+        D_source=D_source,
+    )
