@@ -1,0 +1,93 @@
+"""Out-of-core (host-staged) pipeline vs the in-core path."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zeldovich_tpu.models.outofcore import OutOfCoreZeldovich
+from zeldovich_tpu.models.pipeline import Zeldovich
+from zeldovich_tpu.utils.output import read_particles
+from zeldovich_tpu.utils.params import Parameters
+
+ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+
+
+def make_params(tmp_path, ppd=16, **over):
+    d = dict(
+        BoxSize=100.0,
+        NP=ppd**3,
+        CPD=ppd,
+        ICFormat="RVZel",
+        InitialConditionsDirectory=str(tmp_path / "ic"),
+        InitialRedshift=49.0,
+        ZD_Seed=12346,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.02,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+        ZD_Version=2,
+    )
+    d.update(over)
+    return Parameters.from_dict(d)
+
+
+def run_both(tmp_path, **over):
+    p1 = make_params(tmp_path / "a", **over)
+    Zeldovich(p1).run()
+    p2 = make_params(tmp_path / "b", **over)
+    # tiny slab size to force many passes
+    OutOfCoreZeldovich(p2, slab_bytes=16 * 16 * 2 * 16 * 4).run()
+    return p1, p2
+
+
+def compare_outputs(p1, p2):
+    a_files = sorted(p1.output_path.glob("ic_*"))
+    b_files = sorted(p2.output_path.glob("ic_*"))
+    assert [f.name for f in a_files] == [f.name for f in b_files]
+    for fa, fb in zip(a_files, b_files):
+        ra = read_particles(fa, p1.ICFormat)
+        rb = read_particles(fb, p2.ICFormat)
+        np.testing.assert_array_equal(ra["i"], rb["i"])
+        np.testing.assert_allclose(ra["displ"], rb["displ"], atol=1e-12)
+        np.testing.assert_allclose(ra["vel"], rb["vel"], atol=1e-12)
+
+
+def test_matches_incore(tmp_path):
+    compare_outputs(*run_both(tmp_path))
+
+
+def test_matches_incore_f_NL(tmp_path):
+    compare_outputs(*run_both(tmp_path, ZD_f_NL=25.0, ZD_n_s=0.96, Omega_M=0.3))
+
+
+def test_disk_backing(tmp_path):
+    p1 = make_params(tmp_path / "a")
+    Zeldovich(p1).run()
+    p2 = make_params(tmp_path / "b")
+    m = OutOfCoreZeldovich(p2, slab_bytes=1 << 16, backing="disk")
+    from zeldovich_tpu.utils.output import setup_output_dir
+
+    setup_output_dir(p2)  # memmap file lives under the output dir
+    m.run(setup_dir=False)
+    assert (p2.output_path / "zeldovich.stage.mm").exists()
+    compare_outputs(p1, p2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """stage_pass1 output is the PART1/PART2 boundary."""
+    param = make_params(tmp_path)
+    m = OutOfCoreZeldovich(param, slab_bytes=1 << 20)
+    from zeldovich_tpu.utils.output import setup_output_dir
+
+    setup_output_dir(param)
+    stage = m.stage_pass1()
+    # a second model resumes from the staged state
+    param2 = make_params(tmp_path)
+    m2 = OutOfCoreZeldovich(param2, slab_bytes=1 << 20)
+    m2.run(setup_dir=False, stage=stage)
+    ref = make_params(tmp_path / "ref")
+    Zeldovich(ref).run()
+    compare_outputs(ref, param2)

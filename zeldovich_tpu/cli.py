@@ -31,6 +31,29 @@ def main(argv=None):
         "--dtype", choices=("float64", "float32"), default="float64"
     )
     ap.add_argument("--profile", metavar="DIR", default=None)
+    ap.add_argument(
+        "--out-of-core",
+        action="store_true",
+        help="stream slabs through a host staging buffer (grids larger "
+        "than device memory; the -DDISK equivalent)",
+    )
+    ap.add_argument(
+        "--backing",
+        choices=("ram", "disk"),
+        default="ram",
+        help="out-of-core staging buffer location",
+    )
+    ap.add_argument(
+        "--slab-mb",
+        type=int,
+        default=2048,
+        help="device-resident slab size for --out-of-core",
+    )
+    ap.add_argument(
+        "--sharded",
+        action="store_true",
+        help="run the pencil-decomposed pipeline over all local devices",
+    )
     args = ap.parse_args(argv)
 
     t_total = time.perf_counter()
@@ -89,17 +112,64 @@ def main(argv=None):
 
     try:
         with timers.phase("Model setup (P(k), RNG tables, eigenmodes)"):
-            model = Zeldovich(param, dtype=dtype)
+            if args.out_of_core:
+                from .models.outofcore import OutOfCoreZeldovich
+
+                model = OutOfCoreZeldovich(
+                    param,
+                    dtype=dtype,
+                    slab_bytes=args.slab_mb << 20,
+                    backing=args.backing,
+                )
+            else:
+                model = Zeldovich(param, dtype=dtype)
 
         if args.part != 2:
             setup_output_dir(param)
 
+        if args.out_of_core:
+            # streamed run (PART boundary is the staged host buffer)
+            with timers.phase("Out-of-core streamed run"):
+                if args.part == 1:
+                    stage = model.stage_pass1()
+                    np.save(ckpt, np.asarray(stage))
+                    print(f"Checkpoint written to {ckpt}", file=sys.stderr)
+                elif args.part == 2:
+                    stage = np.load(ckpt, mmap_mode="r")
+                    model.run(setup_dir=False, stage=np.array(stage))
+                    ckpt.unlink()
+                else:
+                    model.run(setup_dir=False)
+            timers.report()
+            elapsed = time.perf_counter() - t_total
+            print(
+                f"zeldovich took {elapsed:.4g} sec for ppd {param.ppd} ==> "
+                f"{param.np / 1e6 / elapsed:.3g} Mpart/sec",
+                file=sys.stderr,
+            )
+            return 0
+
+        mesh = None
+        if args.sharded:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            print(
+                f"Sharded run over mesh {dict(mesh.shape)}", file=sys.stderr
+            )
+
         if args.part == 2:
             with timers.phase("Loading k-space checkpoint"):
                 kgrid = jnp.asarray(np.load(ckpt))
+                if mesh is not None:
+                    from .parallel.mesh import grid_sharding
+
+                    kgrid = jax.device_put(kgrid, grid_sharding(mesh))
         else:
             with timers.phase("Mode synthesis (+ f_NL phi pass)"):
-                kgrid = model.kspace()
+                kgrid = (
+                    model.kspace_sharded(mesh) if mesh is not None else model.kspace()
+                )
                 kgrid.block_until_ready()
 
         if args.part == 1:
@@ -110,7 +180,11 @@ def main(argv=None):
             return 0
 
         with timers.phase("Inverse FFT"):
-            x = model.xspace(kgrid)
+            x = (
+                model.xspace_sharded(mesh, kgrid)
+                if mesh is not None
+                else model.xspace(kgrid)
+            )
             x.block_until_ready()
         del kgrid
 
