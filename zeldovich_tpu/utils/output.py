@@ -85,22 +85,43 @@ def setup_output_dir(param: Parameters):
 
 @dataclass
 class OutputWriter:
-    """Streams decoded z-slabs into ic_* files; accumulates global stats."""
+    """Streams decoded z-slabs into ic_* files; accumulates global stats.
+
+    Uses the native threaded pack/IO runtime (zeldovich_tpu.native) when
+    available, with a transparent numpy fallback.
+    """
 
     param: Parameters
-    density_variance: float = 0.0
-    max_disp: np.ndarray = field(default_factory=lambda: np.zeros(3))
     bytes_written: int = 0
+    use_native: bool = True
     _densfp: object = None
 
     def __post_init__(self):
         p = self.param
         self.just_density = p.qdensity == 2
+        # {sum dens^2, signed max_disp x, y, z}
+        self._stats = np.zeros(4)
+        self._native_buf = None
         if not self.just_density:
             self.dtype = output_dtype(p.ICFormat)
+            if self.use_native:
+                from .. import native
+
+                if native.load() is not None:
+                    self._native_buf = np.zeros(
+                        p.ppd * p.ppd * self.dtype.itemsize, dtype=np.uint8
+                    )
         if p.qdensity:
             name = str(p.density_filename).replace("{:d}", "{}").format(p.ppd)
             self._densfp = open(p.output_path / name, "wb")
+
+    @property
+    def density_variance(self) -> float:
+        return float(self._stats[0])
+
+    @property
+    def max_disp(self) -> np.ndarray:
+        return self._stats[1:4]
 
     # ------------------------------------------------------------------
     def decode_slab(self, z: int, slabs: np.ndarray):
@@ -130,8 +151,7 @@ class OutputWriter:
             vel[1] = V2.real
             vel[2] = V2.imag
         else:
-            vnorm = (math.sqrt(1.0 + 24 * p.f_cluster) - 1) * 0.25
-            vel = pos * vnorm
+            vel = pos * self._vnorm
 
         rec = np.zeros((ppd, ppd), dtype=self.dtype)
         names = self.dtype.names
@@ -152,17 +172,48 @@ class OutputWriter:
         for j in range(3):
             flat = pos[j].ravel()
             idx = np.argmax(np.abs(flat))
-            if abs(flat[idx]) > abs(self.max_disp[j]):
-                self.max_disp[j] = flat[idx]
+            if abs(flat[idx]) > abs(self._stats[1 + j]):
+                self._stats[1 + j] = flat[idx]
         return rec, dens
+
+    @property
+    def _vnorm(self) -> float:
+        # f_cluster growth factor applied at output when not PLT
+        # (output.cpp:78-82)
+        return (math.sqrt(1.0 + 24 * self.param.f_cluster) - 1) * 0.25
 
     def write_slab(self, z: int, slabs: np.ndarray):
         """Decode + append one z-slab to its ic_ file (and density file)."""
         p = self.param
         if p.qoneslab >= 0 and z != p.qoneslab:
             return
+        if self._native_buf is not None:
+            from .. import native
+
+            slabs = np.ascontiguousarray(slabs, dtype=np.complex128)
+            if native.pack_slab(
+                p.ICFormat,
+                z,
+                slabs,
+                bool(p.qPLT),
+                self._vnorm,
+                self._native_buf,
+                self._stats,
+            ):
+                fn = p.output_path / f"ic_{z * p.cpd // p.ppd}"
+                if not native.append(
+                    fn, self._native_buf, direct=bool(p.AllowDirectIO)
+                ):  # pragma: no cover - IO failure path
+                    with open(fn, "ab") as fp:
+                        self._native_buf.tofile(fp)
+                self.bytes_written += self._native_buf.nbytes
+                if p.qdensity:
+                    dens = np.ascontiguousarray(slabs[0]).real
+                    dens.astype(np.float32).tofile(self._densfp)
+                    self.bytes_written += dens.size * 4
+                return
         rec, dens = self.decode_slab(z, slabs)
-        self.density_variance += float(np.sum(dens * dens))
+        self._stats[0] += float(np.sum(dens * dens))
         if rec is not None:
             fn = p.output_path / f"ic_{z * p.cpd // p.ppd}"
             with open(fn, "ab") as fp:
