@@ -186,3 +186,26 @@ def test_v1_numblock_changes_phases():
         D = v1_ops.generate_D_half(param, Pk, pk_n2)
         outs.append(D)
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_precompose_off_matches():
+    """1-D compose path (big-ppd fallback) equals the precomposed tables."""
+    param, Pk, cfg, tables = make_setup(ppd=12)
+    t1 = SynthTables.build(
+        param.seed, 12, np.asarray(tables.pk_n2), precompose=False
+    )
+    assert t1.mzx is None and tables.mzx is not None
+    np.testing.assert_array_equal(
+        full_grid(cfg, t1), full_grid(cfg, tables)
+    )
+
+
+def test_float32_fast_path_accuracy():
+    """The f32 path reproduces f64 displacements to ~1e-5 relative."""
+    param, Pk, cfg, tables = make_setup(ppd=16)
+    g64 = full_grid(cfg, tables, dtype=jnp.float64)
+    g32 = full_grid(cfg, tables, dtype=jnp.float32)
+    assert g32.dtype == np.complex64
+    scale = np.abs(g64).max()
+    err = np.abs(g32 - g64).max() / scale
+    assert err < 5e-5, err

@@ -102,6 +102,10 @@ class SynthTables:
     pk_n2: jax.Array  # (3*(ppd/2)^2+1,) f64 P(|k|) by integer n2
     M_n2: jax.Array | None  # same-indexed f_NL M(k, a) factor
     eig: jax.Array | None  # (ppd_e, ppd_e, ppd_e//2+1, 4) PLT eigenmodes
+    # precomposed (z, x) jump maps: (ppd, ppd, 4) u32 -- cuts a mode's
+    # 128-bit multiplies from 5 to 3; built once on device at setup
+    mzx: jax.Array | None = None
+    czx: jax.Array | None = None
 
     def tree_flatten(self):
         fields = (
@@ -113,6 +117,8 @@ class SynthTables:
             self.pk_n2,
             self.M_n2,
             self.eig,
+            self.mzx,
+            self.czx,
         )
         return fields, None
 
@@ -122,10 +128,26 @@ class SynthTables:
 
     @classmethod
     def build(
-        cls, seed: int, ppd: int, pk_n2: np.ndarray, M_n2=None, eig=None
+        cls,
+        seed: int,
+        ppd: int,
+        pk_n2: np.ndarray,
+        M_n2=None,
+        eig=None,
+        precompose: bool | None = None,
     ) -> "SynthTables":
         mz, cz = pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
         mx, cx = pcg.axis_affine_tables(ppd, 2)
+        if precompose is None:
+            precompose = ppd <= 4096  # 2 * ppd^2 * 16 B of HBM
+        mzx = czx = None
+        if precompose:
+            mzx, czx = jax.jit(pcg_device.compose_affine)(
+                jnp.asarray(mz)[:, None, :],
+                jnp.asarray(cz)[:, None, :],
+                jnp.asarray(mx)[None, :, :],
+                jnp.asarray(cx)[None, :, :],
+            )
         return cls(
             planes=jnp.asarray(pcg.plane_state_table(seed, ppd)),
             mz=jnp.asarray(mz),
@@ -135,6 +157,8 @@ class SynthTables:
             pk_n2=jnp.asarray(pk_n2),
             M_n2=None if M_n2 is None else jnp.asarray(M_n2),
             eig=None if eig is None else jnp.asarray(eig),
+            mzx=mzx,
+            czx=czx,
         )
 
 
@@ -209,14 +233,22 @@ def _raw_fields(
         # Gaussian deviate scaled by sqrt(P(k)): deterministic Box-Muller,
         # exactly 2 draws per mode (power_spectrum.cpp:338-359).
         sy_rng = jnp.minimum(sy, half - 1)  # y-Nyquist rows are zeroed anyway
-        R, T = pcg_device.mode_uniform_pair(
-            tables.planes[sy_rng],
-            tables.mz[sz],
-            tables.cz[sz],
-            tables.mx[sx],
-            tables.cx[sx],
-            dtype=fdt,
-        )
+        if tables.mzx is not None:
+            R, T = pcg_device.uniform_pair_from_affine(
+                tables.planes[sy_rng],
+                tables.mzx[sz, sx],
+                tables.czx[sz, sx],
+                dtype=fdt,
+            )
+        else:
+            R, T = pcg_device.mode_uniform_pair(
+                tables.planes[sy_rng],
+                tables.mz[sz],
+                tables.cz[sz],
+                tables.mx[sx],
+                tables.cx[sx],
+                dtype=fdt,
+            )
         Pk = tables.pk_n2[n2].astype(fdt)
         if cfg.fixed_power:
             amp = jnp.sqrt(Pk)

@@ -171,6 +171,15 @@ def mode_uniform_pair(plane_state, mz, cz, mx, cx, dtype=jnp.float64):
     Returns (R, theta_frac) arrays of the broadcast shape, in (0, 1].
     """
     m, c = compose_affine(mz, cz, mx, cx)
+    return uniform_pair_from_affine(plane_state, m, c, dtype)
+
+
+def uniform_pair_from_affine(plane_state, m, c, dtype=jnp.float64):
+    """Uniforms from a precomposed per-mode jump map (m, c).
+
+    With the (z, x) affine maps precomposed into 2-D tables (one-time
+    device work at setup), a mode costs 3 mul128 instead of 5.
+    """
     state = madd128(m, plane_state, c)
     s1 = bump(state)
     s2 = bump(s1)
