@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops import fft, plt as plt_ops
 from ..ops.modes import SynthConfig, SynthTables, synthesize_slab
+from ..ops.modes_fast import synthesize_full_fast
 from ..utils.output import OutputWriter, setup_output_dir
 from ..utils.params import Parameters
 from ..utils.power import PowerSpectrum, mode_amplitude_tables
@@ -62,9 +63,7 @@ class Zeldovich:
         """f_NL round trip -> phi(k) with local non-Gaussianity applied."""
         p = self.param
         phi_cfg = SynthConfig.from_params(p, self.Pk.fixed_power)
-        phi_k = synthesize_slab(
-            0,
-            p.ppd,
+        phi_k = synthesize_full_fast(
             phi_cfg,
             self.tables,
             dtype=self.dtype,
@@ -77,9 +76,7 @@ class Zeldovich:
         """The packed k-space arrays (narray, ppd, ppd, ppd)."""
         p = self.param
         phi_k = self.phi_kspace() if p.f_NL != 0 else None
-        return synthesize_slab(
-            0,
-            p.ppd,
+        return synthesize_full_fast(
             self.cfg,
             self.tables,
             dtype=self.dtype,

@@ -95,6 +95,7 @@ class OutputWriter:
     bytes_written: int = 0
     use_native: bool = True
     _densfp: object = None
+    write_seconds: float = 0.0
 
     def __post_init__(self):
         p = self.param
@@ -184,9 +185,19 @@ class OutputWriter:
 
     def write_slab(self, z: int, slabs: np.ndarray):
         """Decode + append one z-slab to its ic_ file (and density file)."""
+        import time as _time
+
         p = self.param
         if p.qoneslab >= 0 and z != p.qoneslab:
             return
+        _t0 = _time.perf_counter()
+        try:
+            self._write_slab(z, slabs)
+        finally:
+            self.write_seconds += _time.perf_counter() - _t0
+
+    def _write_slab(self, z: int, slabs: np.ndarray):
+        p = self.param
         if self._native_buf is not None:
             from .. import native
 
@@ -227,6 +238,14 @@ class OutputWriter:
         if self._densfp is not None:
             self._densfp.close()
             self._densfp = None
+        if self.write_seconds > 0:
+            # bandwidth report in the reference's style (output.cpp:319-325)
+            print(
+                f"WriteParticlesSlab took {self.write_seconds:.3g} sec to "
+                f"write {self.bytes_written / 1e6:.3g} MB ==> "
+                f"{self.bytes_written / 1e6 / self.write_seconds:.3g} MB/sec",
+                file=sys.stderr,
+            )
 
     # ------------------------------------------------------------------
     def report(self, Pk) -> dict:
