@@ -1,10 +1,10 @@
-"""Benchmark: end-to-end IC generation throughput on the available device.
+"""Benchmark: end-to-end IC generation throughput.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpart/sec", "vs_baseline": N}
 
 The measured step is the full device pipeline -- fused Hermitian mode
-synthesis from the pcg64 stream + unnormalized inverse 3-D FFT of the two
+synthesis from the pcg64 stream + unnormalized inverse 3-D FFT of the
 packed complex arrays -- i.e. everything the reference spends its runtime
 on (ZeldovichZ + BlockArray IO + ZeldovichXY), minus host serialization
 (which streams overlapped with compute at scale).
@@ -14,17 +14,23 @@ project north star is 4096^3 in < 5 min on a v4-64 slice, i.e.
 4096^3 / 300 s / 64 chips = 3.58 Mpart/sec/chip.  vs_baseline is measured
 per-chip throughput divided by that target rate, so 1.0 == on target.
 
-Env knobs: BENCH_PPD (default 256), BENCH_DTYPE (float32|float64,
-default float32 -- the TPU fast path), BENCH_REPS (default 3).
+The measurement runs in a subprocess with a timeout; if the accelerator
+runtime is unreachable (e.g. a wedged device tunnel), it falls back to the
+CPU backend rather than hanging, and labels the metric accordingly.
+
+Env knobs: BENCH_PPD (default 256), BENCH_DTYPE (float32|float64, default
+float32 -- the TPU fast path), BENCH_REPS (default 3), BENCH_TIMEOUT
+(seconds per attempt, default 1500).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 
-def main():
+def child():
     ppd = int(os.environ.get("BENCH_PPD", "256"))
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -36,10 +42,8 @@ def main():
 
     from pathlib import Path
 
-    from zeldovich_tpu.models.pipeline import _ifft_all
-    from zeldovich_tpu.ops.modes import synthesize_slab
-    from zeldovich_tpu.utils.params import Parameters
     from zeldovich_tpu.models.pipeline import Zeldovich
+    from zeldovich_tpu.utils.params import Parameters
 
     assets = Path(__file__).parent / "zeldovich_tpu" / "assets"
     param = Parameters.from_dict(
@@ -62,40 +66,123 @@ def main():
     )
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     model = Zeldovich(param, dtype=dtype)
-    cfg = model.cfg
 
-    @jax.jit
-    def step(tables):
-        k = synthesize_slab(0, cfg.ppd, cfg, tables, dtype=dtype)
-        return _ifft_all(k)
+    # complex-free path: real-pair synthesis + matmul (MXU) FFT -- works on
+    # every backend and is the TPU-native formulation
+    step = jax.jit(model.xspace_pair)
 
-    n_dev = 1  # single-chip bench; the sharded path is exercised in tests
-    out = step(model.tables)
+    out = step()
     out.block_until_ready()  # compile + warm-up
+    # verify the result actually materializes and is sane (a wedged or
+    # lazily-failing backend must not produce a fake timing)
+    import numpy as np
+
+    probe = np.asarray(out[0, 0, :2, :2, :2])
+    assert np.all(np.isfinite(probe)), "non-finite output"
+    assert np.abs(np.asarray(out[0, 0])).mean() > 0, "silent zero output"
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = step(model.tables)
+        out = step()
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
+    # fetch a corner again to force real completion under async dispatch
+    np.asarray(out[0, 0, 0, 0, :4])
     dt = min(times)
 
-    mpart_per_sec = param.np / 1e6 / dt
-    target_per_chip = 4096**3 / 300.0 / 64 / 1e6  # 3.58 Mpart/sec/chip
-    result = {
-        "metric": f"IC generation throughput ({ppd}^3, {dtype_name}, "
-        f"synthesis+iFFT, {jax.devices()[0].platform})",
-        "value": round(mpart_per_sec, 3),
-        "unit": "Mpart/sec",
-        "vs_baseline": round(mpart_per_sec / (n_dev * target_per_chip), 3),
-    }
-    print(json.dumps(result))
+    platform = jax.devices()[0].platform
     print(
-        f"# {ppd}^3 in {dt:.3f} s best-of-{reps} on {jax.devices()}",
-        file=sys.stderr,
+        json.dumps(
+            {
+                "ppd": ppd,
+                "dtype": dtype_name,
+                "seconds": dt,
+                "mpart_per_sec": param.np / 1e6 / dt,
+                "platform": platform,
+                "device": str(jax.devices()[0]),
+            }
+        )
     )
 
 
+def main():
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "1500"))
+    attempts = [dict(os.environ)]
+    # fallback: CPU backend (also skip any accelerator plugin registration)
+    cpu_env = dict(os.environ)
+    cpu_env.update(
+        JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", BENCH_FALLBACK="cpu"
+    )
+    attempts.append(cpu_env)
+
+    result = None
+    for env in attempts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# bench attempt timed out after {timeout}s "
+                f"(platform env JAX_PLATFORMS={env.get('JAX_PLATFORMS')})",
+                file=sys.stderr,
+            )
+            continue
+        for line in proc.stdout.splitlines():
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "mpart_per_sec" in cand:
+                result = cand
+                break
+        if result:
+            break
+        print(proc.stderr[-2000:], file=sys.stderr)
+
+    if not result:
+        print(
+            json.dumps(
+                {
+                    "metric": "IC generation throughput (device unreachable)",
+                    "value": 0.0,
+                    "unit": "Mpart/sec",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return 1
+
+    target_per_chip = 4096**3 / 300.0 / 64 / 1e6  # 3.58 Mpart/sec/chip
+    mps = result["mpart_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"IC generation throughput ({result['ppd']}^3, "
+                    f"{result['dtype']}, synthesis+iFFT, {result['platform']})"
+                ),
+                "value": round(mps, 3),
+                "unit": "Mpart/sec",
+                "vs_baseline": round(mps / target_per_chip, 3),
+            }
+        )
+    )
+    print(
+        f"# {result['ppd']}^3 in {result['seconds']:.3f} s on "
+        f"{result['device']}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child()
+    else:
+        sys.exit(main())

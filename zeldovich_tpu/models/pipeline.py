@@ -90,6 +90,58 @@ class Zeldovich:
             kgrid = self.kspace()
         return _ifft_all(kgrid)
 
+    # -- complex-free phases (real (re, im) pairs + matmul FFT) ---------
+    # For toolchains that reject complex dtypes (some TPU tunnels), and as
+    # the MXU-friendly formulation: FFTs become dense matmuls (ops/mmfft).
+    def kspace_pair(self):
+        """Packed k-space arrays as real pairs: (narray, 2, Y, Z, X)."""
+        from ..ops import mmfft
+        from ..ops.modes_real import synthesize_full_fast_pair
+
+        if self._D_source is not None:
+            raise NotImplementedError(
+                "ZD_Version=1 uses the host/complex path"
+            )
+        p = self.param
+        phi_pair = None
+        if p.f_NL != 0:
+            phi_k = synthesize_full_fast_pair(
+                self.cfg, self.tables, dtype=self.dtype, gen_phi=True
+            )[0]
+            phi_x = mmfft.ifft3_pair(phi_k)[0]
+            phi_x = (phi_x + self.dtype(p.f_NL) * phi_x * phi_x) * self.dtype(
+                1.0 / p.ppd**3
+            )
+            phi_pair = mmfft.fft3_pair(
+                jnp.stack([phi_x, jnp.zeros_like(phi_x)])
+            )
+        return synthesize_full_fast_pair(
+            self.cfg, self.tables, dtype=self.dtype, phi_pair=phi_pair
+        )
+
+    def xspace_pair(self, kpair=None):
+        """Complex-free inverse FFT: (narray, 2, Y, Z, X) real arrays."""
+        from ..ops import mmfft
+
+        if kpair is None:
+            kpair = self.kspace_pair()
+        x = mmfft.ifft3_pair(jnp.swapaxes(kpair, 0, 1))
+        return jnp.swapaxes(x, 0, 1)
+
+    def run_pair(self, setup_dir: bool = True) -> OutputWriter:
+        """Full run through the complex-free path."""
+        p = self.param
+        if setup_dir:
+            setup_output_dir(p)
+        writer = OutputWriter(p)
+        x = np.asarray(jax.jit(self.xspace_pair)())
+        xc = x[:, 0] + 1j * x[:, 1]
+        for z in range(p.ppd):
+            writer.write_slab(z, xc[:, :, z, :])
+        writer.close()
+        writer.report(self.Pk)
+        return writer
+
     # -- sharded phases (multi-chip: mesh over ("z", "y")) --------------
     def kspace_sharded(self, mesh):
         """Packed k-space arrays sharded (None, "y", "z", None) on mesh."""
