@@ -60,3 +60,30 @@ def test_f32_accuracy():
     want = np.fft.fft(z.astype(np.complex128), axis=-1)
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 5e-6, rel
+
+
+def test_four_step_path():
+    """Sizes above DENSE_MAX take the four-step split path."""
+    n = 2048
+    rng = np.random.default_rng(4)
+    z = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    re, im = mmfft.cfft_last(jnp.asarray(z.real), jnp.asarray(z.imag), -1)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = np.fft.fft(z, axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-9 * np.abs(want).max())
+
+
+def test_dense_vs_four_step_agree():
+    n = 64
+    rng = np.random.default_rng(5)
+    z = rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))
+    old = mmfft.DENSE_MAX
+    try:
+        mmfft.DENSE_MAX = 1
+        a = mmfft.cfft_last(jnp.asarray(z.real), jnp.asarray(z.imag), +1)
+        mmfft.DENSE_MAX = 1024
+        b = mmfft.cfft_last(jnp.asarray(z.real), jnp.asarray(z.imag), +1)
+    finally:
+        mmfft.DENSE_MAX = old
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-10)

@@ -31,6 +31,14 @@ import numpy as np
 from jax import lax
 
 
+#: Below this length a single dense N x N DFT matmul is used instead of the
+#: four-step split.  The dense form does N/(2 sqrt N) more flops but keeps
+#: the MXU contraction dimension large (a 16x16 split matmul runs the
+#: 128x128 systolic array at ~1/8 utilization); the crossover on TPU sits
+#: around 1-2k.
+DENSE_MAX = 1024
+
+
 def _factor(n: int) -> tuple[int, int]:
     """Balanced factorization n = n1 * n2 with n1 <= n2."""
     n1 = int(math.isqrt(n))
@@ -70,8 +78,8 @@ def cfft_last(re, im, sign: int, precision=lax.Precision.HIGHEST):
     n = re.shape[-1]
     dtype = re.dtype
     n1, n2 = _factor(n)
-    if n1 == 1:
-        # prime or small: single dense DFT matmul
+    if n1 == 1 or n <= DENSE_MAX:
+        # prime or moderate size: one dense DFT matmul (x @ W^T, W[k,j])
         wr, wi = (jnp.asarray(m) for m in _dft_mats(n, sign, dtype))
         return _cmatmul(re, im, wr, wi, precision)
 
