@@ -114,3 +114,28 @@ def test_jit_end_to_end_sharded_compiles_once():
         np.asarray(model.xspace()),
         atol=1e-11 * float(jnp.abs(out).max()),
     )
+
+
+def test_sharded_pair_matches_single():
+    """Complex-free sharded path == complex single-device path."""
+    param = make_params(ppd=16)
+    import jax.numpy as jnp
+
+    model = Zeldovich(param, dtype=jnp.float64)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    pair = np.asarray(model.xspace_pair_sharded(mesh))
+    got = pair[:, 0] + 1j * pair[:, 1]
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+def test_sharded_pair_f_NL():
+    param = make_params(ppd=16, ZD_f_NL=30.0, ZD_n_s=0.96, Omega_M=0.3)
+    import jax.numpy as jnp
+
+    model = Zeldovich(param, dtype=jnp.float64)
+    mesh = make_mesh(mesh_shape=(2, 2), devices=jax.devices()[:4])
+    pair = np.asarray(model.xspace_pair_sharded(mesh))
+    got = pair[:, 0] + 1j * pair[:, 1]
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())

@@ -176,6 +176,32 @@ class Zeldovich:
             kgrid = self.kspace_sharded(mesh)
         return ifft3_sharded(kgrid, mesh)
 
+    def xspace_pair_sharded(self, mesh):
+        """Sharded complex-free forward: (narray, 2, Y, Z, X) pairs."""
+        from ..parallel.pencil_mmfft import fft3_pair_sharded, ifft3_pair_sharded
+        from ..parallel.synthesis import synthesize_sharded_pair
+
+        if self._D_source is not None:
+            raise NotImplementedError("ZD_Version=1 uses the host path")
+        p = self.param
+        phi_pair = None
+        if p.f_NL != 0:
+            phi_k = synthesize_sharded_pair(
+                self.cfg, self.tables, mesh, dtype=self.dtype, gen_phi=True
+            )[0]
+            phi_x = ifft3_pair_sharded(phi_k, mesh)[0]
+            phi_x = (phi_x + self.dtype(p.f_NL) * phi_x * phi_x) * self.dtype(
+                1.0 / p.ppd**3
+            )
+            phi_pair = fft3_pair_sharded(
+                jnp.stack([phi_x, jnp.zeros_like(phi_x)]), mesh
+            )
+        k = synthesize_sharded_pair(
+            self.cfg, self.tables, mesh, dtype=self.dtype, phi_pair=phi_pair
+        )
+        x = ifft3_pair_sharded(jnp.swapaxes(k, 0, 1), mesh)
+        return jnp.swapaxes(x, 0, 1)
+
     # -- full run ------------------------------------------------------
     def run(self, setup_dir: bool = True) -> OutputWriter:
         p = self.param

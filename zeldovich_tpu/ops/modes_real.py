@@ -1,13 +1,13 @@
-"""Complex-free mode synthesis: (re, im) real-pair twin of modes_fast.
+"""Complex-free mode synthesis: (re, im) real-pair kernels.
 
-Same math as ops/modes_fast.synthesize_full_fast (half-space generation +
-reflection assembly) with every complex number carried as explicit real
-pairs, so the graph contains no complex dtypes.  Pairs with ops/mmfft for
-toolchains (like some TPU tunnels) that reject complex types, and doubles
-as the layout the matmul FFT wants anyway.
+Same math as ops/modes (elementwise, shardable) and ops/modes_fast
+(half-space + reflection assembly) with every complex number carried as an
+explicit (re, im) pair, so the compiled graph contains no complex dtypes.
+Pairs with ops/mmfft for toolchains (like some TPU tunnels) that reject
+complex types; the pair layout is also what the matmul FFT consumes.
 
-Equality with the complex path is asserted in tests; any change here must
-keep its twin in sync.
+Equality with the complex paths is asserted in tests; changes here must
+keep the complex twins in sync.
 """
 
 from __future__ import annotations
@@ -19,8 +19,179 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import pcg_device
-from .modes import SynthConfig, SynthTables
+from .modes import SynthConfig, SynthTables, hermitian_source
 from .modes_fast import _reflect_zx
+
+
+def _raw_fields_pair(
+    sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_pair_val=None
+):
+    """Real-pair twin of modes._raw_fields at source indices (sy, sz, sx).
+
+    phi_pair_val: optional (re, im) tuple of phi(k) at the source index.
+    Returns (D, F, G, H, f) where each field is an (re, im) tuple.
+    """
+    ppd, half = cfg.ppd, cfg.ppd // 2
+    fdt = dtype
+
+    ky = sy
+    kz = jnp.where(sz > half, sz - ppd, sz)
+    kx = jnp.where(sx > half, sx - ppd, sx)
+    n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
+    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+
+    if phi_pair_val is not None:
+        zero = n2 == 0
+    else:
+        zero = (
+            (jnp.abs(kx) == cfg.kmax_int)
+            | (jnp.abs(ky) == cfg.kmax_int)
+            | (jnp.abs(kz) == cfg.kmax_int)
+        )
+        if not cfg.corner_modes:
+            zero |= k2 >= fdt(cfg.k2_cutoff)
+        if cfg.qonemode:
+            om = cfg.one_mode
+            zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+
+    if phi_pair_val is not None:
+        M = tables.M_n2[n2].astype(fdt)
+        D_re = phi_pair_val[0] * M
+        D_im = phi_pair_val[1] * M
+    else:
+        sy_rng = jnp.minimum(sy, half - 1)
+        if tables.mzx is not None:
+            R, T = pcg_device.uniform_pair_from_affine(
+                tables.planes[sy_rng],
+                tables.mzx[sz, sx],
+                tables.czx[sz, sx],
+                dtype=fdt,
+            )
+        else:
+            R, T = pcg_device.mode_uniform_pair(
+                tables.planes[sy_rng],
+                tables.mz[sz],
+                tables.cz[sz],
+                tables.mx[sx],
+                tables.cx[sx],
+                dtype=fdt,
+            )
+        Pk = tables.pk_n2[n2].astype(fdt)
+        amp = jnp.sqrt(Pk) if cfg.fixed_power else jnp.sqrt(-Pk * jnp.log(R))
+        theta = fdt(2 * np.pi) * T
+        D_re = amp * jnp.cos(theta)
+        D_im = amp * jnp.sin(theta)
+
+    zf = jnp.where(zero, fdt(0), fdt(1))
+    D_re = D_re * zf
+    D_im = D_im * zf
+
+    ik2 = jnp.where(n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2))
+    if cfg.qPLT:
+        from .plt import eigenmode_lookup
+
+        evec, eval_ = eigenmode_lookup(kx, ky, kz, ppd, tables.eig, dtype=fdt)
+        f = (jnp.sqrt(1.0 + 24.0 * eval_ * fdt(cfg.f_cluster)) - 1.0) * fdt(0.25)
+        if cfg.qPLTrescale:
+            rescale = fdt(cfg.plt_rescale_base) ** (fdt(cfg.plt_target_f) - f)
+        else:
+            rescale = fdt(1.0)
+    else:
+        evec = (kx.astype(fdt), ky.astype(fdt), kz.astype(fdt))
+        f = fdt(1.0)
+        rescale = fdt(1.0)
+
+    scale = rescale * fdt(cfg.fundamental) * ik2
+    # F_j = evec_j * scale * (i D) -> re = -coef*D_im, im = coef*D_re
+    def field(coef):
+        c = coef * scale
+        return (-c * D_im, c * D_re)
+
+    return (
+        (D_re, D_im),
+        field(evec[0]),
+        field(evec[1]),
+        field(evec[2]),
+        f,
+    )
+
+
+def _phi_of_D(D, n2_args, tables, dtype):
+    """phi = D / M (gen_phi pass); zero where M undefined (origin)."""
+    kx, ky, kz = n2_args
+    n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
+    M = tables.M_n2[n2].astype(dtype)
+    invM = jnp.where(n2 == 0, dtype(0), 1.0 / jnp.where(n2 == 0, dtype(1), M))
+    return (D[0] * invM, D[1] * invM)
+
+
+def _pack(Dp, Fp):
+    """(D + iF): returns (re, im)."""
+    return (Dp[0] - Fp[1], Dp[1] + Fp[0])
+
+
+def synthesize_pair(
+    y,
+    z,
+    x,
+    cfg: SynthConfig,
+    tables: SynthTables,
+    dtype=jnp.float32,
+    gen_phi: bool = False,
+    phi_pair=None,
+):
+    """Elementwise complex-free synthesis at output indices (shardable).
+
+    Twin of modes.synthesize: mirror-half entries re-derive their source
+    mode locally and conjugate (negate im) -- zero communication.
+
+    phi_pair: (phi_same, phi_refl) tuples of (re, im) local blocks for the
+    f_NL input pass (values at (y,z,x) and at the reflected index).
+    Returns (narray, 2, *shape).
+    """
+    ppd = cfg.ppd
+    half = ppd // 2
+    y, z, x = jnp.broadcast_arrays(jnp.asarray(y), jnp.asarray(z), jnp.asarray(x))
+    sy, sz, sx, mirror, hard_zero = hermitian_source(y, z, x, ppd)
+
+    phi_val = None
+    if phi_pair is not None and not gen_phi:
+        (same_re, same_im), (refl_re, refl_im) = phi_pair
+        phi_val = (
+            jnp.where(mirror, refl_re, same_re),
+            jnp.where(mirror, refl_im, same_im),
+        )
+
+    D, F, G, H, f = _raw_fields_pair(
+        sy, sz, sx, cfg, tables, dtype, phi_pair_val=phi_val
+    )
+
+    sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im
+    live = jnp.where(hard_zero, dtype(0), dtype(1))
+
+    def C(w):
+        return (w[0] * live, w[1] * sign * live)
+
+    if gen_phi:
+        kz = jnp.where(sz > half, sz - ppd, sz)
+        kx = jnp.where(sx > half, sx - ppd, sx)
+        pr, pi = C(_phi_of_D(D, (kx, sy, kz), tables, dtype))
+        return jnp.stack([pr, pi])[None]
+
+    if cfg.just_density:
+        return jnp.stack(C(D))[None]
+
+    A = _pack(C(D), C(F))
+    B = _pack(C(G), C(H))
+    if not cfg.qPLT:
+        return jnp.stack([jnp.stack(A), jnp.stack(B)])
+    zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+    Ff = (F[0] * f, F[1] * f)
+    Gf = (G[0] * f, G[1] * f)
+    Hf = (H[0] * f, H[1] * f)
+    A2 = _pack(C(zero2), C(Ff))
+    B2 = _pack(C(Gf), C(Hf))
+    return jnp.stack([jnp.stack(A), jnp.stack(B), jnp.stack(A2), jnp.stack(B2)])
 
 
 def _assemble_pair(re, im, half):
@@ -51,121 +222,50 @@ def synthesize_full_fast_pair(
     gen_phi: bool = False,
     phi_pair=None,
 ):
-    """Full k-grid as real pairs: (narray, 2, ppd, ppd, ppd).
+    """Full k-grid as real pairs via half-space generation + reflection.
 
-    phi_pair: optional (2, ppd, ppd, ppd) phi(k) pair for the f_NL input
-    pass.
+    Returns (narray, 2, ppd, ppd, ppd).
+    phi_pair: (2, ppd, ppd, ppd) phi(k) pair for the f_NL input pass.
     """
-    fdt = dtype
     ppd = cfg.ppd
     half = ppd // 2
     y = jnp.arange(half)[:, None, None]
     z = jnp.arange(ppd)[None, :, None]
     x = jnp.arange(ppd)[None, None, :]
 
-    ky = y
-    kz = jnp.where(z > half, z - ppd, z)
-    kx = jnp.where(x > half, x - ppd, x)
-    n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
-    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+    phi_val = None
+    if phi_pair is not None and not gen_phi:
+        phi_val = (phi_pair[0, :half], phi_pair[1, :half])
 
-    if phi_pair is not None:
-        zero = n2 == 0
-    else:
-        zero = (
-            (jnp.abs(kx) == cfg.kmax_int)
-            | (jnp.abs(ky) == cfg.kmax_int)
-            | (jnp.abs(kz) == cfg.kmax_int)
-        )
-        if not cfg.corner_modes:
-            zero |= k2 >= fdt(cfg.k2_cutoff)
-        if cfg.qonemode:
-            om = cfg.one_mode
-            zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+    D, F, G, H, f = _raw_fields_pair(
+        y, z, x, cfg, tables, dtype, phi_pair_val=phi_val
+    )
 
-    if phi_pair is None:
-        sy_rng = jnp.minimum(y, half - 1)
-        if tables.mzx is not None:
-            R, T = pcg_device.uniform_pair_from_affine(
-                tables.planes[sy_rng],
-                tables.mzx[z, x],
-                tables.czx[z, x],
-                dtype=fdt,
-            )
-        else:
-            R, T = pcg_device.mode_uniform_pair(
-                tables.planes[sy_rng],
-                tables.mz[z],
-                tables.cz[z],
-                tables.mx[x],
-                tables.cx[x],
-                dtype=fdt,
-            )
-        Pk = tables.pk_n2[n2].astype(fdt)
-        amp = jnp.sqrt(Pk) if cfg.fixed_power else jnp.sqrt(-Pk * jnp.log(R))
-        theta = fdt(2 * np.pi) * T
-        D_re = amp * jnp.cos(theta)
-        D_im = amp * jnp.sin(theta)
-    else:
-        M = tables.M_n2[n2].astype(fdt)
-        D_re = phi_pair[0, :half] * M
-        D_im = phi_pair[1, :half] * M
-
-    zf = jnp.where(zero, fdt(0), fdt(1))
-    D_re = D_re * zf
-    D_im = D_im * zf
+    def asm(w):
+        return _assemble_pair(w[0], w[1], half)
 
     if gen_phi:
-        M = tables.M_n2[n2].astype(fdt)
-        invM = jnp.where(n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), M))
-        pr, pi = _assemble_pair(D_re * invM, D_im * invM, half)
+        kz = jnp.where(z > half, z - ppd, z)
+        kx = jnp.where(x > half, x - ppd, x)
+        pr, pi = asm(_phi_of_D(D, (kx, y, kz), tables, dtype))
         return jnp.stack([pr, pi])[None]
 
-    ik2 = jnp.where(n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2))
-    if cfg.qPLT:
-        from .plt import eigenmode_lookup
-
-        evec, eval_ = eigenmode_lookup(kx, ky, kz, ppd, tables.eig, dtype=fdt)
-        f = (jnp.sqrt(1.0 + 24.0 * eval_ * fdt(cfg.f_cluster)) - 1.0) * fdt(0.25)
-        if cfg.qPLTrescale:
-            rescale = fdt(cfg.plt_rescale_base) ** (fdt(cfg.plt_target_f) - f)
-        else:
-            rescale = fdt(1.0)
-    else:
-        evec = (kx.astype(fdt), ky.astype(fdt), kz.astype(fdt))
-        f = fdt(1.0)
-        rescale = fdt(1.0)
-
-    scale = rescale * fdt(cfg.fundamental) * ik2
-    # F_j = evec_j * scale * (i D): re = -evec*scale*D_im, im = evec*scale*D_re
-    sx_, sy_, sz_ = (evec[0] * scale, evec[1] * scale, evec[2] * scale)
-
-    def field(coef):
-        return -coef * D_im, coef * D_re
-
     if cfg.just_density:
-        re, im = _assemble_pair(D_re, D_im, half)
-        return jnp.stack([re, im])[None]
+        return jnp.stack(asm(D))[None]
 
-    F = field(sx_)
-    G = field(sy_)
-    H = field(sz_)
-
-    def pack(Dp, Fp):
-        """(D + iF) assembled: returns (re, im) full-space."""
-        dr, di = _assemble_pair(Dp[0], Dp[1], half)
-        fr, fi = _assemble_pair(Fp[0], Fp[1], half)
+    def pack_full(Dp, Fp):
+        dr, di = asm(Dp)
+        fr, fi = asm(Fp)
         return jnp.stack([dr - fi, di + fr])
 
-    A = pack((D_re, D_im), F)
-    B = pack(G, H)
+    A = pack_full(D, F)
+    B = pack_full(G, H)
     if not cfg.qPLT:
         return jnp.stack([A, B])
-
     Ff = (F[0] * f, F[1] * f)
     Gf = (G[0] * f, G[1] * f)
     Hf = (H[0] * f, H[1] * f)
-    zero2 = (jnp.zeros_like(D_re), jnp.zeros_like(D_im))
-    A2 = pack(zero2, Ff)
-    B2 = pack(Gf, Hf)
+    zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+    A2 = pack_full(zero2, Ff)
+    B2 = pack_full(Gf, Hf)
     return jnp.stack([A, B, A2, B2])

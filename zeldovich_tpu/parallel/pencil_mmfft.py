@@ -1,0 +1,81 @@
+"""Mesh-sharded complex-free pencil FFT (real pairs + matmul DFTs).
+
+The pair-representation twin of parallel/pencil_fft.py: identical
+all_to_all pencil transposes over the ("z", "y") mesh, with each local
+1-D transform done as dense/four-step MXU matmuls (ops/mmfft) instead of
+a complex FFT -- no complex dtypes anywhere in the compiled program.
+
+Layout contract: pair grids are (2, A, Y, Z, X) sharded
+(None, None, "y", "z", None).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import mmfft
+
+
+def _cfft_last_pair(block, sign):
+    re, im = mmfft.cfft_last(block[0], block[1], sign)
+    return jnp.stack([re, im])
+
+
+def _pencil_3d_pair(block, sign):
+    """Local [2, A, Yl, Zl, X] block: 3-D transform with 4 all-to-alls."""
+    # X local
+    block = _cfft_last_pair(block, sign)
+    # Y (sharded over "y")
+    for axis_name, axis in (("y", -3), ("z", -2)):
+        full = jax.lax.all_to_all(
+            block, axis_name, split_axis=block.ndim - 1,
+            concat_axis=block.ndim + axis, tiled=True,
+        )
+        moved = jnp.moveaxis(full, axis, -1)
+        moved = _cfft_last_pair(moved, sign)
+        full = jnp.moveaxis(moved, -1, axis)
+        block = jax.lax.all_to_all(
+            full, axis_name, split_axis=block.ndim + axis,
+            concat_axis=block.ndim - 1, tiled=True,
+        )
+    return block
+
+
+def _check(shape, mesh):
+    py, pz = mesh.shape["y"], mesh.shape["z"]
+    Y, Z, X = shape[-3], shape[-2], shape[-1]
+    if Y % py or Z % pz or X % py or X % pz:
+        raise ValueError(f"grid {shape[-3:]} not divisible by mesh (y={py}, z={pz})")
+
+
+def _spec(ndim):
+    return P(*(None,) * (ndim - 3), "y", "z", None)
+
+
+def ifft3_pair_sharded(gpair, mesh: Mesh):
+    """Unnormalized inverse (FFTW +1) of a sharded pair grid."""
+    _check(gpair.shape, mesh)
+    f = shard_map(
+        partial(_pencil_3d_pair, sign=+1),
+        mesh=mesh,
+        in_specs=(_spec(gpair.ndim),),
+        out_specs=_spec(gpair.ndim),
+    )
+    return f(gpair)
+
+
+def fft3_pair_sharded(gpair, mesh: Mesh):
+    """Forward (FFTW -1), unnormalized."""
+    _check(gpair.shape, mesh)
+    f = shard_map(
+        partial(_pencil_3d_pair, sign=-1),
+        mesh=mesh,
+        in_specs=(_spec(gpair.ndim),),
+        out_specs=_spec(gpair.ndim),
+    )
+    return f(gpair)

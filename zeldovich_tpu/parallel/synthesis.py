@@ -84,3 +84,66 @@ def synthesize_sharded(
         out_specs=gspec,
     )
     return f(tables)
+
+
+def synthesize_sharded_pair(
+    cfg: SynthConfig,
+    tables: SynthTables,
+    mesh: Mesh,
+    dtype=None,
+    gen_phi: bool = False,
+    phi_pair=None,
+):
+    """Complex-free sharded synthesis: (narray, 2, Y, Z, X) real pairs.
+
+    Twin of synthesize_sharded for toolchains without complex support;
+    phi_pair is a (2, Y, Z, X) sharded pair grid (f_NL input pass) whose
+    reflected counterpart is produced with collective permutes.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.modes_real import synthesize_pair
+
+    if dtype is None:
+        dtype = jnp.float32
+    ppd = cfg.ppd
+    py, pz = mesh.shape["y"], mesh.shape["z"]
+    if ppd % py or ppd % pz:
+        raise ValueError(f"ppd={ppd} not divisible by mesh (y={py}, z={pz})")
+    yl, zl = ppd // py, ppd // pz
+
+    gspec = P(None, None, "y", "z", None)
+    pspec = P(None, "y", "z", None)
+    tab_spec = jax.tree.map(lambda _: P(), tables)
+
+    def kernel(tables, phi_blocks):
+        iy = jax.lax.axis_index("y")
+        iz = jax.lax.axis_index("z")
+        y = (iy * yl + jnp.arange(yl))[:, None, None]
+        z = (iz * zl + jnp.arange(zl))[None, :, None]
+        x = jnp.arange(ppd)[None, None, :]
+        pp = None
+        if phi_blocks is not None:
+            same, refl = phi_blocks
+            pp = ((same[0], same[1]), (refl[0], refl[1]))
+        return synthesize_pair(
+            y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_pair=pp
+        )
+
+    if phi_pair is not None:
+        refl = reflected(phi_pair)
+        f = shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(tab_spec, (pspec, pspec)),
+            out_specs=gspec,
+        )
+        return f(tables, (phi_pair, refl))
+
+    f = shard_map(
+        partial(kernel, phi_blocks=None),
+        mesh=mesh,
+        in_specs=(tab_spec,),
+        out_specs=gspec,
+    )
+    return f(tables)
