@@ -54,6 +54,12 @@ def main(argv=None):
         action="store_true",
         help="run the pencil-decomposed pipeline over all local devices",
     )
+    ap.add_argument(
+        "--pair",
+        action="store_true",
+        help="force the complex-free (real-pair + matmul-FFT) compute path "
+        "(auto-selected on backends without complex support)",
+    )
     args = ap.parse_args(argv)
 
     t_total = time.perf_counter()
@@ -158,6 +164,10 @@ def main(argv=None):
                 f"Sharded run over mesh {dict(mesh.shape)}", file=sys.stderr
             )
 
+        from .utils.backend import supports_complex
+
+        use_pair = args.pair or not supports_complex()
+
         if args.part == 2:
             with timers.phase("Loading k-space checkpoint"):
                 kgrid = jnp.asarray(np.load(ckpt))
@@ -167,12 +177,25 @@ def main(argv=None):
                     kgrid = jax.device_put(kgrid, grid_sharding(mesh))
         else:
             with timers.phase("Mode synthesis (+ f_NL phi pass)"):
-                kgrid = (
-                    model.kspace_sharded(mesh) if mesh is not None else model.kspace()
-                )
-                kgrid.block_until_ready()
+                if use_pair and mesh is not None:
+                    kgrid = None  # fused into xspace_pair_sharded below
+                elif use_pair:
+                    kgrid = model.kspace_pair()
+                elif mesh is not None:
+                    kgrid = model.kspace_sharded(mesh)
+                else:
+                    kgrid = model.kspace()
+                if kgrid is not None:
+                    kgrid.block_until_ready()
 
         if args.part == 1:
+            if kgrid is None:
+                print(
+                    "--part 1 with --sharded --pair is not supported; "
+                    "run without --part",
+                    file=sys.stderr,
+                )
+                return 1
             with timers.phase("Writing k-space checkpoint"):
                 np.save(ckpt, np.asarray(kgrid))
             timers.report()
@@ -180,17 +203,22 @@ def main(argv=None):
             return 0
 
         with timers.phase("Inverse FFT"):
-            x = (
-                model.xspace_sharded(mesh, kgrid)
-                if mesh is not None
-                else model.xspace(kgrid)
-            )
+            if use_pair and mesh is not None:
+                x = model.xspace_pair_sharded(mesh)
+            elif use_pair:
+                x = model.xspace_pair(kgrid)
+            elif mesh is not None:
+                x = model.xspace_sharded(mesh, kgrid)
+            else:
+                x = model.xspace(kgrid)
             x.block_until_ready()
         del kgrid
 
         with timers.phase("Output"):
             writer = OutputWriter(param)
             xh = np.asarray(x)
+            if use_pair:
+                xh = xh[:, 0] + 1j * xh[:, 1]
             for z in range(param.ppd):
                 writer.write_slab(z, xh[:, :, z, :])
             writer.close()
