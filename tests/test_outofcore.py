@@ -91,3 +91,13 @@ def test_checkpoint_roundtrip(tmp_path):
     ref = make_params(tmp_path / "ref")
     Zeldovich(ref).run()
     compare_outputs(ref, param2)
+
+
+def test_pair_mode_matches(tmp_path):
+    """Complex-free out-of-core run equals the complex one (incl f_NL)."""
+    for extra in ({}, {"ZD_f_NL": 20.0, "ZD_n_s": 0.96, "Omega_M": 0.3}):
+        p1 = make_params(tmp_path / "a", **extra)
+        OutOfCoreZeldovich(p1, slab_bytes=1 << 18, pair=False).run()
+        p2 = make_params(tmp_path / "b", **extra)
+        OutOfCoreZeldovich(p2, slab_bytes=1 << 18, pair=True).run()
+        compare_outputs(p1, p2)

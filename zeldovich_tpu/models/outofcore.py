@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import mmfft
 from ..ops.modes import synthesize_slab
+from ..ops.modes_real import synthesize_pair
 from ..utils.output import OutputWriter, setup_output_dir
 from .pipeline import Zeldovich
 
@@ -57,6 +59,34 @@ def _ifft_y(zslab):
     return jnp.fft.ifft(zslab, axis=1) * zslab.shape[1]
 
 
+# -- complex-free (pair) stage kernels -----------------------------------
+
+
+@partial(jax.jit, static_argnames=("y0", "ny", "cfg", "dtype", "gen_phi"))
+def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None):
+    """Pair twin of _synth_ifft_zx: (narray, 2, ny, Z, X)."""
+    ppd = cfg.ppd
+    y = (y0 + jnp.arange(ny))[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    k = synthesize_pair(
+        y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_pair=phi_pair
+    )
+    p = jnp.swapaxes(k, 0, 1)  # (2, narray, ny, Z, X)
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(p[0], p[1], ax, +1)
+        p = jnp.stack([re, im])
+    return jnp.swapaxes(p, 0, 1)
+
+
+@jax.jit
+def _ifft_y_pair(zslab):
+    """Pair twin of _ifft_y: zslab (narray, 2, Y, Bz, X), FFT along Y."""
+    p = jnp.swapaxes(zslab, 0, 1)
+    re, im = mmfft.cfft_axis(p[0], p[1], -3, +1)
+    return jnp.swapaxes(jnp.stack([re, im]), 0, 1)
+
+
 @jax.jit
 def _fwd_y_phi_nl(zslab, f_NL, inv_n3):
     """phi z-slab: finish inverse FFT (y), apply non-linearity, forward y."""
@@ -71,51 +101,95 @@ def _fwd_zx(yslab):
     return jnp.fft.fftn(yslab, axes=(2, 3))
 
 
+@jax.jit
+def _fwd_y_phi_nl_pair(zslab, f_NL, inv_n3):
+    """Pair twin of _fwd_y_phi_nl: zslab (narray, 2, Y, Bz, X)."""
+    p = jnp.swapaxes(zslab, 0, 1)
+    re, _ = mmfft.cfft_axis(p[0], p[1], -3, +1)
+    phi_x = (re + f_NL * re * re) * inv_n3
+    re, im = mmfft.cfft_axis(phi_x, jnp.zeros_like(phi_x), -3, -1)
+    return jnp.swapaxes(jnp.stack([re, im]), 0, 1)
+
+
+@jax.jit
+def _fwd_zx_pair(yslab):
+    """Pair twin of _fwd_zx: yslab (narray, 2, By, Z, X), forward z and x."""
+    p = jnp.swapaxes(yslab, 0, 1)
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(p[0], p[1], ax, -1)
+        p = jnp.stack([re, im])
+    return jnp.swapaxes(p, 0, 1)
+
+
 class OutOfCoreZeldovich(Zeldovich):
     """Streamed pipeline with a host-resident (or disk-memmapped) grid."""
 
     def __init__(self, param, dtype=jnp.float64, slab_bytes=2 << 30,
-                 backing: str = "ram"):
+                 backing: str = "ram", pair: bool | None = None):
         super().__init__(param, dtype=dtype)
         self.backing = backing
+        if pair is None:
+            from ..utils.backend import supports_complex
+
+            pair = not supports_complex()
+        self.pair = pair
+        if pair and param.version == 1:
+            raise NotImplementedError("ZD_Version=1 uses the complex path")
         itemsize = 16 if dtype == jnp.float64 else 8
         row = param.ppd * param.ppd * param.narray * itemsize
         self.slab = max(1, min(param.ppd, slab_bytes // row))
         while param.ppd % self.slab:
             self.slab -= 1
         self._cnp = np.complex128 if dtype == jnp.float64 else np.complex64
+        self._fnp = np.float64 if dtype == jnp.float64 else np.float32
 
     # -- staging buffer -------------------------------------------------
     def _alloc_stage(self, narray, name="zeldovich.stage"):
         p = self.param
-        shape = (narray, p.ppd, p.ppd, p.ppd)
+        if self.pair:
+            shape = (narray, 2, p.ppd, p.ppd, p.ppd)
+            dtype = self._fnp
+        else:
+            shape = (narray, p.ppd, p.ppd, p.ppd)
+            dtype = self._cnp
         if self.backing == "disk":
             path = p.output_path / f"{name}.mm"
             path.parent.mkdir(parents=True, exist_ok=True)
-            return np.memmap(path, dtype=self._cnp, mode="w+", shape=shape)
-        return np.empty(shape, dtype=self._cnp)
+            return np.memmap(path, dtype=dtype, mode="w+", shape=shape)
+        return np.empty(shape, dtype=dtype)
 
     # -- phi round trip -------------------------------------------------
     def _phi_stage(self):
         p = self.param
         stage = self._alloc_stage(1, "zeldovich.phi")
         for y0 in range(0, p.ppd, self.slab):
-            stage[:, y0 : y0 + self.slab] = np.asarray(
-                _synth_ifft_zx(
+            if self.pair:
+                out = _synth_ifft_zx_pair(
+                    y0, self.slab, self.cfg, self.tables, self.dtype, gen_phi=True
+                )
+            else:
+                out = _synth_ifft_zx(
                     y0, self.slab, self.cfg, self.tables, self.dtype,
                     gen_phi=True, D_source=self._D_source,
                 )
-            )
+            stage[:, y0 : y0 + self.slab] = np.asarray(out)
         f_NL = self.dtype(p.f_NL)
         inv_n3 = self.dtype(1.0 / p.ppd**3)
+        zslice = (
+            (slice(None), slice(None))  # [narray, 2, ...]
+            if self.pair
+            else (slice(None),)
+        )
         for z0 in range(0, p.ppd, self.slab):
-            zin = jnp.asarray(stage[:, :, z0 : z0 + self.slab])
-            stage[:, :, z0 : z0 + self.slab] = np.asarray(
-                _fwd_y_phi_nl(zin, f_NL, inv_n3)
-            )
+            sel = (*zslice, slice(None), slice(z0, z0 + self.slab))
+            zin = jnp.asarray(stage[sel])
+            fwd = _fwd_y_phi_nl_pair if self.pair else _fwd_y_phi_nl
+            stage[sel] = np.asarray(fwd(zin, f_NL, inv_n3))
         for y0 in range(0, p.ppd, self.slab):
-            yin = jnp.asarray(stage[:, y0 : y0 + self.slab])
-            stage[:, y0 : y0 + self.slab] = np.asarray(_fwd_zx(yin))
+            sel = (*zslice, slice(y0, y0 + self.slab))
+            yin = jnp.asarray(stage[sel])
+            fwd = _fwd_zx_pair if self.pair else _fwd_zx
+            stage[sel] = np.asarray(fwd(yin))
         return stage  # phi(k), full Hermitian grid, host-resident
 
     def _phi_pair_for_slab(self, phi_stage, y0):
@@ -123,6 +197,19 @@ class OutOfCoreZeldovich(Zeldovich):
         p = self.param
         ys = np.arange(y0, y0 + self.slab)
         refl = (-np.arange(p.ppd)) % p.ppd
+        if self.pair:
+            # components: (re, im) tuples of same/reflected-index values
+            def take(c, reflected):
+                a = phi_stage[0, c]
+                if reflected:
+                    a = a[(p.ppd - ys) % p.ppd][:, refl][:, :, refl]
+                else:
+                    a = a[ys]
+                return jnp.asarray(a)
+
+            same = (take(0, False), take(1, False))
+            rfl = (take(0, True), take(1, True))
+            return (same, rfl)
         phi_same = phi_stage[0, ys]
         phi_refl = phi_stage[0][(p.ppd - ys) % p.ppd][:, refl][:, :, refl]
         return (jnp.asarray(phi_same), jnp.asarray(phi_refl))
@@ -140,12 +227,17 @@ class OutOfCoreZeldovich(Zeldovich):
                 if phi_stage is not None
                 else None
             )
-            stage[:, y0 : y0 + self.slab] = np.asarray(
-                _synth_ifft_zx(
+            if self.pair:
+                out = _synth_ifft_zx_pair(
+                    y0, self.slab, self.cfg, self.tables, self.dtype,
+                    phi_pair=phi_pair,
+                )
+            else:
+                out = _synth_ifft_zx(
                     y0, self.slab, self.cfg, self.tables, self.dtype,
                     phi_pair=phi_pair, D_source=self._D_source,
                 )
-            )
+            stage[:, y0 : y0 + self.slab] = np.asarray(out)
         del phi_stage
         return stage
 
@@ -157,7 +249,14 @@ class OutOfCoreZeldovich(Zeldovich):
             stage = self.stage_pass1()
         writer = OutputWriter(p)
         for z0 in range(0, p.ppd, self.slab):
-            zslab = np.asarray(_ifft_y(jnp.asarray(stage[:, :, z0 : z0 + self.slab])))
+            if self.pair:
+                sel = (slice(None), slice(None), slice(None), slice(z0, z0 + self.slab))
+                zp = np.asarray(_ifft_y_pair(jnp.asarray(stage[sel])))
+                zslab = zp[:, 0] + 1j * zp[:, 1]
+            else:
+                zslab = np.asarray(
+                    _ifft_y(jnp.asarray(stage[:, :, z0 : z0 + self.slab]))
+                )
             for dz in range(zslab.shape[2]):
                 writer.write_slab(z0 + dz, zslab[:, :, dz, :])
         writer.close()
