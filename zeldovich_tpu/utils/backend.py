@@ -1,35 +1,36 @@
-"""Backend capability detection.
+"""Backend capability policy.
 
-Some TPU toolchains (observed: a v5e behind a remote-compile tunnel)
-reject complex dtypes at compilation.  The pipeline has a complex-free
-twin (real pairs + matmul FFT); this module decides which to use.
+Some TPU toolchains reject complex dtypes at compilation -- and a failed
+compilation can poison the whole client process, so probing at runtime is
+not safe.  Policy instead:
+
+* CPU backends: complex is always fine -> use the complex path.
+* Accelerators: use the complex-free (real-pair + matmul-FFT) path by
+  default -- it is the MXU-native formulation regardless of complex
+  support.  Set ``ZT_COMPLEX=1`` to force the complex path on an
+  accelerator known to support it.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 import sys
 
 
 @functools.cache
 def supports_complex() -> bool:
-    """True if the default backend can compile+execute complex64 ops."""
+    """Whether the pipeline should use complex dtypes on this backend."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     if jax.default_backend() == "cpu":
         return True
-    try:
-        v = jax.jit(lambda a: (a + 1j * a) * (2.0 + 0j))(
-            jnp.ones(8, jnp.float32)
-        )
-        np.asarray(v)  # errors can surface only at fetch
+    if os.environ.get("ZT_COMPLEX") == "1":
         return True
-    except Exception:
-        print(
-            "Note: backend rejects complex dtypes; using the complex-free "
-            "(real-pair + matmul-FFT) pipeline.",
-            file=sys.stderr,
-        )
-        return False
+    print(
+        "Note: accelerator backend; using the complex-free "
+        "(real-pair + matmul-FFT) pipeline. Set ZT_COMPLEX=1 to force "
+        "complex-dtype kernels.",
+        file=sys.stderr,
+    )
+    return False
