@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import fft, plt as plt_ops
-from ..ops.modes import SynthConfig, SynthTables, synthesize_slab
+from ..ops.modes import SynthConfig, SynthTables
 from ..ops.modes_fast import synthesize_full_fast
 from ..utils.output import OutputWriter, setup_output_dir
 from ..utils.params import Parameters
