@@ -69,12 +69,18 @@ def test_reflected():
 
 
 def test_sharded_synthesis_matches_single():
+    from zeldovich_tpu.ops.modes import synthesize_slab
+
     param = make_params(ppd=16)
     model = Zeldovich(param)
     mesh = make_mesh(mesh_shape=(4, 2))
     got = np.asarray(synthesize_sharded(model.cfg, model.tables, mesh))
-    want = np.asarray(model.kspace())
+    # bit-identical to the single-device elementwise kernel
+    want = np.asarray(synthesize_slab(0, 16, model.cfg, model.tables))
     np.testing.assert_array_equal(got, want)
+    # and matches the half-space fast path up to FMA reassociation
+    fast = np.asarray(model.kspace())
+    np.testing.assert_allclose(got, fast, atol=2e-15 * np.abs(fast).max(), rtol=0)
 
 
 def test_sharded_end_to_end_matches_single():
