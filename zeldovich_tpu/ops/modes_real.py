@@ -18,9 +18,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from . import pcg_device
 from .modes import SynthConfig, SynthTables, hermitian_source
 from .modes_fast import _reflect_zx
+
+
+def _use_pallas() -> bool:
+    """Route the draw chain through the fused Pallas kernel (ops/pallas_synth).
+
+    Default on (it is bit-identical to the jnp path and ~an order of
+    magnitude cheaper on TPU); ZT_NO_PALLAS=1 disables.
+    """
+    return not os.environ.get("ZT_NO_PALLAS")
 
 
 def _raw_fields_pair(
@@ -60,23 +71,28 @@ def _raw_fields_pair(
         D_im = phi_pair_val[1] * M
     else:
         sy_rng = jnp.minimum(sy, half - 1)
+        plane = tables.planes[sy_rng]
         if tables.mzx is not None:
-            R, T = pcg_device.uniform_pair_from_affine(
-                tables.planes[sy_rng],
-                tables.mzx[sz, sx],
-                tables.czx[sz, sx],
-                dtype=fdt,
-            )
+            m, c = tables.mzx[sz, sx], tables.czx[sz, sx]
         else:
-            R, T = pcg_device.mode_uniform_pair(
-                tables.planes[sy_rng],
-                tables.mz[sz],
-                tables.cz[sz],
-                tables.mx[sx],
-                tables.cx[sx],
-                dtype=fdt,
+            m, c = pcg_device.compose_affine(
+                tables.mz[sz], tables.cz[sz], tables.mx[sx], tables.cx[sx]
             )
         Pk = tables.pk_n2[n2].astype(fdt)
+        zf = jnp.where(zero, fdt(0), fdt(1))
+        if _use_pallas():
+            from .pallas_synth import boxmuller_pallas
+
+            state = pcg_device.madd128(m, plane, c)
+            pk_b, live_b, *_ = jnp.broadcast_arrays(Pk, zf)
+            state = jnp.broadcast_to(state, (*pk_b.shape, 4))
+            D_re, D_im = boxmuller_pallas(
+                state, pk_b, live_b, fixed_power=cfg.fixed_power
+            )
+            return _finish_fields(
+                D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd
+            )
+        R, T = pcg_device.uniform_pair_from_affine(plane, m, c, dtype=fdt)
         amp = jnp.sqrt(Pk) if cfg.fixed_power else jnp.sqrt(-Pk * jnp.log(R))
         theta = fdt(2 * np.pi) * T
         D_re = amp * jnp.cos(theta)
@@ -85,7 +101,11 @@ def _raw_fields_pair(
     zf = jnp.where(zero, fdt(0), fdt(1))
     D_re = D_re * zf
     D_im = D_im * zf
+    return _finish_fields(D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd)
 
+
+def _finish_fields(D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd):
+    """Displacement kernel / PLT projection applied to a zero-ruled D."""
     ik2 = jnp.where(n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2))
     if cfg.qPLT:
         from .plt import eigenmode_lookup
