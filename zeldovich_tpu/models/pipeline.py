@@ -93,6 +93,17 @@ class Zeldovich:
     # -- complex-free phases (real (re, im) pairs + matmul FFT) ---------
     # For toolchains that reject complex dtypes (some TPU tunnels), and as
     # the MXU-friendly formulation: FFTs become dense matmuls (ops/mmfft).
+    @property
+    def pk_eff(self):
+        """Cached static amplitude field for the pair path (setup work)."""
+        if getattr(self, "_pk_eff", None) is None:
+            from ..ops.modes_real import pk_effective
+
+            self._pk_eff = jax.jit(
+                pk_effective, static_argnames=("cfg", "dtype")
+            )(self.cfg, self.tables, dtype=self.dtype)
+        return self._pk_eff
+
     def kspace_pair(self):
         """Packed k-space arrays as real pairs: (narray, 2, Y, Z, X)."""
         from ..ops import mmfft
@@ -106,7 +117,11 @@ class Zeldovich:
         phi_pair = None
         if p.f_NL != 0:
             phi_k = synthesize_full_fast_pair(
-                self.cfg, self.tables, dtype=self.dtype, gen_phi=True
+                self.cfg,
+                self.tables,
+                dtype=self.dtype,
+                gen_phi=True,
+                pk_eff=self.pk_eff,
             )[0]
             phi_x = mmfft.ifft3_pair(phi_k)[0]
             phi_x = (phi_x + self.dtype(p.f_NL) * phi_x * phi_x) * self.dtype(
@@ -116,7 +131,11 @@ class Zeldovich:
                 jnp.stack([phi_x, jnp.zeros_like(phi_x)])
             )
         return synthesize_full_fast_pair(
-            self.cfg, self.tables, dtype=self.dtype, phi_pair=phi_pair
+            self.cfg,
+            self.tables,
+            dtype=self.dtype,
+            phi_pair=phi_pair,
+            pk_eff=self.pk_eff,
         )
 
     def xspace_pair(self, kpair=None):

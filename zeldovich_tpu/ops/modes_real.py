@@ -34,8 +34,42 @@ def _use_pallas() -> bool:
     return not os.environ.get("ZT_NO_PALLAS")
 
 
+def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
+    """Static per-run amplitude field: zero-rule mask folded into P(k).
+
+    The n2 -> P(k) table gather is the dominant synthesis cost on TPU (XLA
+    TPU gathers are slow: ~60 ms of a 69 ms step at 256^3) but its result
+    is constant for a given configuration -- like the reference's FFTW
+    planning, it belongs in setup.  pk = 0 exactly zeroes the Box-Muller
+    output (sqrt(-0 * log R) == 0), so the mask needs no separate array.
+    Returns (half, Z, X) in ``dtype``.
+    """
+    ppd, half = cfg.ppd, cfg.ppd // 2
+    fdt = dtype
+    y = jnp.arange(half)[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    kz = jnp.where(z > half, z - ppd, z)
+    kx = jnp.where(x > half, x - ppd, x)
+    n2 = (kx * kx + y * y + kz * kz).astype(jnp.int32)
+    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+    zero = (
+        (jnp.abs(kx) == cfg.kmax_int)
+        | (jnp.abs(y) == cfg.kmax_int)
+        | (jnp.abs(kz) == cfg.kmax_int)
+    )
+    if not cfg.corner_modes:
+        zero |= k2 >= fdt(cfg.k2_cutoff)
+    if cfg.qonemode:
+        om = cfg.one_mode
+        zero |= ~((kx == om[0]) & (y == om[1]) & (kz == om[2]))
+    pk = tables.pk_n2[n2].astype(fdt)
+    return jnp.where(zero, fdt(0), pk)
+
+
 def _raw_fields_pair(
-    sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_pair_val=None
+    sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_pair_val=None,
+    identity_grid=False, pk_eff=None,
 ):
     """Real-pair twin of modes._raw_fields at source indices (sy, sz, sx).
 
@@ -78,22 +112,48 @@ def _raw_fields_pair(
             m, c = pcg_device.compose_affine(
                 tables.mz[sz], tables.cz[sz], tables.mx[sx], tables.cx[sx]
             )
-        Pk = tables.pk_n2[n2].astype(fdt)
-        zf = jnp.where(zero, fdt(0), fdt(1))
+        if pk_eff is not None:
+            # precomputed amplitude field (zero rules folded in)
+            Pk = pk_eff
+            zf = fdt(1.0)
+        else:
+            Pk = tables.pk_n2[n2].astype(fdt)
+            zf = jnp.where(zero, fdt(0), fdt(1))
         if _use_pallas():
-            from .pallas_synth import boxmuller_pallas
+            if pk_eff is not None:
+                pk_b, live_b = pk_eff, None
+            else:
+                pk_b, live_b, *_ = jnp.broadcast_arrays(Pk, zf)
+            if identity_grid and tables.mzx is not None:
+                # half-space open grid: the fully fused kernel does the
+                # affine jump + draws + Box-Muller with zero XLA-side
+                # 128-bit math or layout shuffles
+                from .pallas_synth import halfspace_boxmuller_pallas
 
-            state = pcg_device.madd128(m, plane, c)
-            pk_b, live_b, *_ = jnp.broadcast_arrays(Pk, zf)
-            state = jnp.broadcast_to(state, (*pk_b.shape, 4))
-            D_re, D_im = boxmuller_pallas(
-                state, pk_b, live_b, fixed_power=cfg.fixed_power
-            )
+                D_re, D_im = halfspace_boxmuller_pallas(
+                    tables.planes,
+                    tables.mzx,
+                    tables.czx,
+                    pk_b,
+                    live_b,
+                    fixed_power=cfg.fixed_power,
+                )
+            else:
+                from .pallas_synth import boxmuller_pallas
+
+                if live_b is None:
+                    live_b = jnp.ones_like(pk_b)
+                state = pcg_device.madd128(m, plane, c)
+                state = jnp.broadcast_to(state, (*pk_b.shape, 4))
+                D_re, D_im = boxmuller_pallas(
+                    state, pk_b, live_b, fixed_power=cfg.fixed_power
+                )
             return _finish_fields(
                 D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd
             )
         R, T = pcg_device.uniform_pair_from_affine(plane, m, c, dtype=fdt)
-        amp = jnp.sqrt(Pk) if cfg.fixed_power else jnp.sqrt(-Pk * jnp.log(R))
+        Pk_b = jnp.broadcast_to(Pk, R.shape) if pk_eff is not None else Pk
+        amp = jnp.sqrt(Pk_b) if cfg.fixed_power else jnp.sqrt(-Pk_b * jnp.log(R))
         theta = fdt(2 * np.pi) * T
         D_re = amp * jnp.cos(theta)
         D_im = amp * jnp.sin(theta)
@@ -241,6 +301,7 @@ def synthesize_full_fast_pair(
     dtype=jnp.float32,
     gen_phi: bool = False,
     phi_pair=None,
+    pk_eff=None,
 ):
     """Full k-grid as real pairs via half-space generation + reflection.
 
@@ -258,7 +319,8 @@ def synthesize_full_fast_pair(
         phi_val = (phi_pair[0, :half], phi_pair[1, :half])
 
     D, F, G, H, f = _raw_fields_pair(
-        y, z, x, cfg, tables, dtype, phi_pair_val=phi_val
+        y, z, x, cfg, tables, dtype, phi_pair_val=phi_val, identity_grid=True,
+        pk_eff=pk_eff,
     )
 
     def asm(w):

@@ -35,6 +35,23 @@ from . import pcg
 
 _U32 = jnp.uint32
 
+
+def _b2u(cond):
+    """bool -> u32 {0,1} without a cast op (Mosaic-safe)."""
+    return jnp.where(cond, _U32(1), _U32(0))
+
+
+def _u32_to_f(v, fdt):
+    """u32 -> float, Mosaic-safe: Mosaic has no u32->f32 convert, so split
+    into 16-bit halves (bitcast to i32 is free, i32->f convert exists);
+    hi*65536 is exact and the single add rounds once -- identical to a
+    correctly-rounded direct conversion."""
+    import jax.lax as lax
+
+    hi = lax.bitcast_convert_type(v >> _U32(16), jnp.int32)
+    lo = lax.bitcast_convert_type(v & _U32(0xFFFF), jnp.int32)
+    return hi.astype(fdt) * fdt(65536.0) + lo.astype(fdt)
+
 # pcg64 LCG constants as 32-bit limbs (little-endian)
 _MULT = tuple(int(v) for v in pcg.to_limbs32(pcg.PCG64_MULT))
 _INC = tuple(int(v) for v in pcg.to_limbs32(pcg.PCG64_INC))
@@ -53,19 +70,19 @@ def _mul32_hi(a, b):
     ahbh = ah * bh
     # carry-counted middle sum: mid = albh + ahbl + (albl >> 16)
     mid = albh + ahbl
-    c1 = (mid < albh).astype(_U32)  # wrapped?
+    c1 = _b2u(mid < albh)  # wrapped?
     t = albl >> _U32(16)
     mid2 = mid + t
-    c2 = (mid2 < mid).astype(_U32)
+    c2 = _b2u(mid2 < mid)
     return ahbh + (mid2 >> _U32(16)) + ((c1 + c2) << _U32(16))
 
 
 def _addc(a, b, cin):
     """u32 add with carry-in; returns (sum, carry_out)."""
     s1 = a + b
-    c1 = (s1 < a).astype(_U32)
+    c1 = _b2u(s1 < a)
     s2 = s1 + cin
-    c2 = (s2 < s1).astype(_U32)
+    c2 = _b2u(s2 < s1)
     return s2, c1 + c2
 
 
@@ -128,19 +145,53 @@ def _xsl_rr(s0, s1, s2, s3):
     hi1 = jnp.where(swap, xlo, xhi)
     # now rotate (hi1:lo1) right by r32 < 32
     inv = (_U32(32) - r32) & _U32(31)  # == 0 when r32 == 0
-    nz = (r32 != 0).astype(_U32)
-    lo = (lo1 >> r32) | jnp.where(nz.astype(bool), hi1 << inv, _U32(0))
-    hi = (hi1 >> r32) | jnp.where(nz.astype(bool), lo1 << inv, _U32(0))
+    nz = r32 != _U32(0)
+    lo = (lo1 >> r32) | jnp.where(nz, hi1 << inv, _U32(0))
+    hi = (hi1 >> r32) | jnp.where(nz, lo1 << inv, _U32(0))
     return lo, hi
 
 
 def _uniform(lo, hi, fdt):
     """(hi:lo)+1 scaled by 2^-64 -> (0, 1], reference rounding semantics."""
     lo1 = lo + _U32(1)
-    hi1 = hi + (lo1 == _U32(0)).astype(_U32)
+    hi1 = hi + _b2u(lo1 == _U32(0))
     allones = (lo == _U32(0xFFFFFFFF)) & (hi == _U32(0xFFFFFFFF))
-    v = hi1.astype(fdt) * fdt(2.0**-32) + lo1.astype(fdt) * fdt(2.0**-64)
+    v = _u32_to_f(hi1, fdt) * fdt(2.0**-32) + _u32_to_f(lo1, fdt) * fdt(
+        2.0**-64
+    )
     return jnp.where(allones, fdt(1.0), v)
+
+
+def _madd128(m, s, c):
+    """(m * s + c) mod 2^128 over u32 limb 4-tuples (elementwise)."""
+    prods = {}
+    for i in range(4):
+        for j in range(4 - i):
+            prods[(i, j)] = (m[j] * s[i], _mul32_hi(m[j], s[i]))
+    zero = jnp.zeros_like(s[0])
+    r0, carry = _addc(prods[(0, 0)][0], c[0], zero)
+    r1, c1 = _addc(prods[(0, 1)][0], prods[(1, 0)][0], zero)
+    r1, c2 = _addc(r1, prods[(0, 0)][1], zero)
+    r1, c3 = _addc(r1, c[1], carry)
+    carry = c1 + c2 + c3
+    r2, c1 = _addc(prods[(0, 2)][0], prods[(1, 1)][0], zero)
+    r2, c2 = _addc(r2, prods[(2, 0)][0], zero)
+    r2, c3 = _addc(r2, prods[(0, 1)][1], zero)
+    r2, c4 = _addc(r2, prods[(1, 0)][1], zero)
+    r2, c5 = _addc(r2, c[2], carry)
+    carry = c1 + c2 + c3 + c4 + c5
+    r3 = (
+        prods[(0, 3)][0]
+        + prods[(1, 2)][0]
+        + prods[(2, 1)][0]
+        + prods[(3, 0)][0]
+        + prods[(0, 2)][1]
+        + prods[(1, 1)][1]
+        + prods[(2, 0)][1]
+        + c[3]
+        + carry
+    )
+    return r0, r1, r2, r3
 
 
 def _draw_chain(s0, s1, s2, s3, pk, live, fixed_power, fdt):
@@ -211,7 +262,11 @@ def boxmuller_pallas(state, pk, live, fixed_power=False, interpret=None):
     while rows % block_rows:
         block_rows -= 1
     grid = (rows // block_rows,)
-    bspec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0))
+    # Mosaic requires i32 index maps (x64 mode promotes literals to i64)
+    bspec = pl.BlockSpec(
+        (block_rows, lanes),
+        lambda i: (jnp.asarray(i, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
 
     re, im = pl.pallas_call(
         partial(_kernel, fixed_power=fixed_power, fdt=fdt),
@@ -226,4 +281,98 @@ def boxmuller_pallas(state, pk, live, fixed_power=False, interpret=None):
     )(*args)
     re = re.reshape(-1)[:n].reshape(shape)
     im = im.reshape(-1)[:n].reshape(shape)
+    return re, im
+
+
+# ---------------------------------------------------------------------------
+# Grid kernel: the whole per-mode chain (affine jump + draws + Box-Muller)
+# fused over the half-space grid -- no XLA-side 128-bit math, no layout
+# shuffles.  Used by the half-space fast path where (sz, sx) == (z, x).
+# ---------------------------------------------------------------------------
+
+
+def _grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
+                 *refs, fixed_power, fdt, has_live):
+    y = pl.program_id(0)
+    m = (m0[...], m1[...], m2[...], m3[...])
+    c = (c0[...], c1[...], c2[...], c3[...])
+    plane = tuple(plane_ref[y, j] for j in range(4))
+    s = _madd128(m, tuple(jnp.full_like(m[0], p) for p in plane), c)
+    if has_live:
+        live_ref, re_ref, im_ref = refs
+        live = live_ref[0]
+    else:
+        re_ref, im_ref = refs
+        live = fdt(1.0)  # zeroing folded into pk (sqrt(-0*log R) == 0)
+    re, im = _draw_chain(*s, pk_ref[0], live, fixed_power, fdt)
+    re_ref[0] = re
+    im_ref[0] = im
+
+
+@partial(jax.jit, static_argnames=("fixed_power", "interpret"))
+def halfspace_boxmuller_pallas(
+    planes, mzx, czx, pk, live=None, fixed_power=False, interpret=None
+):
+    """D over the generated half-space, fully fused.
+
+    planes: (half, 4) u32 per-y-plane states
+    mzx, czx: (Z, X, 4) u32 precomposed jump tables
+    pk: (half, Z, X) float -- P(k), optionally with the zero-rule mask
+        already folded in (pk = 0 zeroes the output exactly)
+    live: optional explicit (half, Z, X) zero mask
+    Returns (D_re, D_im) of shape (half, Z, X).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    fdt = pk.dtype.type
+    half, Z, X = pk.shape
+
+    # block over z to bound VMEM: budget ~2 MB for the biggest operand set
+    zb = Z
+    while zb > 8 and zb * X * 4 * 10 > 4 << 20:
+        zb //= 2
+    while Z % zb:
+        zb -= 1
+    grid = (half, Z // zb)
+
+    # Mosaic requires i32 index maps; under x64 literals/arithmetic can
+    # promote to i64, so cast every component explicitly
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    tile3 = pl.BlockSpec((1, zb, X), lambda y, z: (i32(y), i32(z), i32(0)))
+    # limb tables as separate clean 2-D tiles (a trailing dim of 4 forces
+    # pathological (.., 4) vector layouts in Mosaic)
+    mspec = pl.BlockSpec((zb, X), lambda y, z: (i32(z), i32(0)))
+    # whole planes table in SMEM (tiny); indexed by program_id in-kernel.
+    # NB: an explicit i32 index map -- the default one emits i64 zeros under
+    # x64, which Mosaic refuses to legalize.
+    pspec = pl.BlockSpec(
+        planes.shape,
+        lambda y, z: (i32(0), i32(0)),
+        memory_space=pltpu.SMEM,
+    )
+
+    limbs = [jnp.copy(mzx[:, :, j]) for j in range(4)] + [
+        jnp.copy(czx[:, :, j]) for j in range(4)
+    ]
+    args = [planes, *limbs, pk]
+    in_specs = [pspec] + [mspec] * 8 + [tile3]
+    if live is not None:
+        args.append(live)
+        in_specs.append(tile3)
+    re, im = pl.pallas_call(
+        partial(
+            _grid_kernel,
+            fixed_power=fixed_power,
+            fdt=fdt,
+            has_live=live is not None,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((half, Z, X), pk.dtype),
+            jax.ShapeDtypeStruct((half, Z, X), pk.dtype),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(tile3, tile3),
+        interpret=interpret,
+    )(*args)
     return re, im
