@@ -68,8 +68,10 @@ def child():
     model = Zeldovich(param, dtype=dtype)
 
     # complex-free path: real-pair synthesis + matmul (MXU) FFT -- works on
-    # every backend and is the TPU-native formulation
-    step = jax.jit(model.xspace_pair)
+    # every backend and is the TPU-native formulation.  The static
+    # amplitude field (pk_eff) is setup work, passed by argument so it is
+    # not baked into the program as a constant.
+    step = model.xspace_pair
 
     import numpy as np
 

@@ -143,6 +143,12 @@ class Zeldovich:
         from ..ops import mmfft
 
         if kpair is None:
+            if self.param.f_NL == 0:
+                # argument-passing jitted step: large operands (pk_eff)
+                # must not be closure constants (they bloat the HLO)
+                return _pair_forward(
+                    self.cfg, self.tables, self.pk_eff, self.dtype
+                )
             kpair = self.kspace_pair()
         x = mmfft.ifft3_pair(jnp.swapaxes(kpair, 0, 1))
         return jnp.swapaxes(x, 0, 1)
@@ -238,6 +244,17 @@ class Zeldovich:
 @jax.jit
 def _ifft_all(kgrid):
     return fft.ifft3(kgrid, axes=(1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _pair_forward(cfg, tables, pk_eff, dtype):
+    """Fused complex-free forward step (synthesis + matmul iFFT)."""
+    from ..ops import mmfft
+    from ..ops.modes_real import synthesize_full_fast_pair
+
+    k = synthesize_full_fast_pair(cfg, tables, dtype=dtype, pk_eff=pk_eff)
+    x = mmfft.ifft3_pair(jnp.swapaxes(k, 0, 1))
+    return jnp.swapaxes(x, 0, 1)
 
 
 @partial(jax.jit, static_argnames=())
