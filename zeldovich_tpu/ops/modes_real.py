@@ -69,7 +69,7 @@ def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
 
 def _raw_fields_pair(
     sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_pair_val=None,
-    identity_grid=False, pk_eff=None,
+    identity_grid=False, pk_eff=None, allow_pallas=True,
 ):
     """Real-pair twin of modes._raw_fields at source indices (sy, sz, sx).
 
@@ -119,7 +119,7 @@ def _raw_fields_pair(
         else:
             Pk = tables.pk_n2[n2].astype(fdt)
             zf = jnp.where(zero, fdt(0), fdt(1))
-        if _use_pallas():
+        if allow_pallas and _use_pallas():
             if pk_eff is not None:
                 pk_b, live_b = pk_eff, None
             else:
@@ -242,8 +242,11 @@ def synthesize_pair(
             jnp.where(mirror, refl_im, same_im),
         )
 
+    # no Pallas here: this path runs inside shard_map (where pallas_call
+    # output shapes lack the vma annotation shard_map checks for) and the
+    # flat kernel's XLA-side prep erases its win anyway
     D, F, G, H, f = _raw_fields_pair(
-        sy, sz, sx, cfg, tables, dtype, phi_pair_val=phi_val
+        sy, sz, sx, cfg, tables, dtype, phi_pair_val=phi_val, allow_pallas=False
     )
 
     sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im
