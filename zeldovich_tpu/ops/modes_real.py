@@ -25,13 +25,19 @@ from .modes import SynthConfig, SynthTables, hermitian_source
 from .modes_fast import _reflect_zx
 
 
-def _use_pallas() -> bool:
+def _use_pallas(dtype) -> bool:
     """Route the draw chain through the fused Pallas kernel (ops/pallas_synth).
 
     Default on (it is bit-identical to the jnp path and ~an order of
-    magnitude cheaper on TPU); ZT_NO_PALLAS=1 disables.
+    magnitude cheaper on TPU); ZT_NO_PALLAS=1 disables.  float64 kernels
+    only run in the CPU interpreter (the TPU VPU has no f64), so the f64
+    parity mode keeps the XLA chain on accelerators.
     """
-    return not os.environ.get("ZT_NO_PALLAS")
+    import jax
+
+    if os.environ.get("ZT_NO_PALLAS"):
+        return False
+    return dtype == jnp.float32 or jax.default_backend() == "cpu"
 
 
 def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
@@ -119,7 +125,7 @@ def _raw_fields_pair(
         else:
             Pk = tables.pk_n2[n2].astype(fdt)
             zf = jnp.where(zero, fdt(0), fdt(1))
-        if allow_pallas and _use_pallas():
+        if allow_pallas and _use_pallas(dtype):
             if pk_eff is not None:
                 pk_b, live_b = pk_eff, None
             else:
