@@ -12,13 +12,12 @@ keep the complex twins in sync.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-import os
 
 from . import pcg_device
 from .modes import SynthConfig, SynthTables, hermitian_source
@@ -33,8 +32,6 @@ def _use_pallas(dtype) -> bool:
     only run in the CPU interpreter (the TPU VPU has no f64), so the f64
     parity mode keeps the XLA chain on accelerators.
     """
-    import jax
-
     if os.environ.get("ZT_NO_PALLAS"):
         return False
     return dtype == jnp.float32 or jax.default_backend() == "cpu"

@@ -93,8 +93,6 @@ def _bump(s0, s1, s2, s3):
 
     # column products: result limb k = sum_{i+j=k} (lo of si*mj)
     #                + sum_{i+j=k-1} (hi of si*mj) + carries + INC
-    lo = [None] * 4
-    hi = [None] * 4  # hi[k] feeds limb k+1
     prods = {}
     for i in range(4):
         s = (s0, s1, s2, s3)[i]
