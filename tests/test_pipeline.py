@@ -252,3 +252,28 @@ def test_oneslab_option(tmp_path):
     Zeldovich(param).run()
     ics = sorted(param.output_path.glob("ic_*"))
     assert [p.name for p in ics] == ["ic_3"]
+
+
+def test_oversampling_file_level(tmp_path):
+    """Phase-matched oversampling end-to-end: a 16^3 run with k_cutoff=2
+    contains exactly the 8^3 run's modes, so its displacement field at the
+    shared (even-index) lattice points equals the 8^3 field."""
+    base = dict(ICFormat="RVdoubleZel")
+    p8 = make_params(tmp_path / "a", ppd=8, CPD=8, **base)
+    Zeldovich(p8).run()
+    p16 = make_params(tmp_path / "b", ppd=16, CPD=16, ZD_k_cutoff=2.0, **base)
+    Zeldovich(p16).run()
+
+    def field(param):
+        ppd = param.ppd
+        out = np.zeros((ppd, ppd, ppd, 3))
+        for fn in sorted(param.output_path.glob("ic_*")):
+            rec = read_particles(fn, "RVdoubleZel")
+            out[rec["i"], rec["j"], rec["k"]] = rec["displ"]
+        return out
+
+    f8 = field(p8)
+    f16 = field(p16)
+    np.testing.assert_allclose(
+        f16[::2, ::2, ::2], f8, atol=1e-12 * np.abs(f8).max()
+    )
