@@ -129,3 +129,26 @@ def test_mode_amplitude_tables():
         / (3.0 * p.Omega_M * 100.0**2)
     )
     assert M_tab[n2] == pytest.approx(M14, rel=1e-12)
+
+
+def test_sigma_ratio_normalization():
+    """ZD_Pk_sigma_ratio scales the spectrum by ratio^2 (no sigma target)."""
+    base = make_params()
+    a = PowerSpectrum(base)
+    scaled = make_params(ZD_Pk_sigma=0.0, ZD_Pk_sigma_ratio=0.5)
+    b = PowerSpectrum(scaled)
+    # power ratio = (0.5 / (sigma_target/sigma_input))^2 relative to a
+    k = 0.3
+    input_sigma = 0.0781753  # printed by the reference for this spectrum
+    expect = (0.5 / (0.0210839935761 / input_sigma)) ** 2
+    assert b.power(k) / a.power(k) == pytest.approx(expect, rel=1e-4)
+
+
+def test_pk_scale_wavenumber_conversion():
+    """ZD_Pk_scale rescales input-file wavenumbers before fitting."""
+    a = PowerSpectrum(make_params(ZD_Pk_norm=0.0, ZD_Pk_sigma=1.0))
+    b = PowerSpectrum(
+        make_params(ZD_Pk_norm=0.0, ZD_Pk_sigma=1.0, ZD_Pk_scale=2.0)
+    )
+    # P_b(k) = P_a(k / 2) (same table, wavenumbers doubled)
+    assert b.power(0.4) == pytest.approx(a.power(0.2), rel=1e-12)
