@@ -145,3 +145,27 @@ def test_sharded_pair_f_NL():
     got = pair[:, 0] + 1j * pair[:, 1]
     want = np.asarray(model.xspace())
     np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_pencil_final_matches_dense(mesh_shape):
+    """The 2-transpose (pencil-layout-output) transform: same global array."""
+    from zeldovich_tpu.parallel.pencil_fft import ifft3_sharded_final
+    from zeldovich_tpu.parallel.pencil_mmfft import ifft3_pair_sharded_final
+
+    mesh = make_mesh(mesh_shape=mesh_shape)
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(2, 16, 16, 16)) + 1j * rng.normal(size=(2, 16, 16, 16))
+    ga = jax.device_put(jnp.asarray(a), grid_sharding(mesh))
+    got = np.asarray(ifft3_sharded_final(ga, mesh))
+    want = np.asarray(fft.ifft3(jnp.asarray(a), axes=(1, 2, 3)))
+    np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+    pair = jnp.stack([jnp.asarray(a.real), jnp.asarray(a.imag)], axis=0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gp = jax.device_put(pair, NamedSharding(mesh, P(None, None, "y", "z", None)))
+    gotp = np.asarray(ifft3_pair_sharded_final(gp, mesh))
+    np.testing.assert_allclose(
+        gotp[0] + 1j * gotp[1], want, atol=1e-10 * np.abs(want).max()
+    )

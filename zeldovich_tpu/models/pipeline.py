@@ -194,12 +194,18 @@ class Zeldovich:
         )
 
     def xspace_sharded(self, mesh, kgrid=None):
-        """Sharded end-to-end forward: synthesis + pencil inverse FFT."""
-        from ..parallel.pencil_fft import ifft3_sharded
+        """Sharded end-to-end forward: synthesis + pencil inverse FFT.
+
+        The final transform uses the transpose-light (2-all-to-all) form,
+        leaving the result in x-pencil layout -- the same global array with
+        a different sharding, which the host-gathering output stage (or any
+        layout-agnostic consumer) reads identically.
+        """
+        from ..parallel.pencil_fft import ifft3_sharded_final
 
         if kgrid is None:
             kgrid = self.kspace_sharded(mesh)
-        return ifft3_sharded(kgrid, mesh)
+        return ifft3_sharded_final(kgrid, mesh)
 
     def xspace_pair_sharded(self, mesh):
         """Sharded complex-free forward: (narray, 2, Y, Z, X) pairs."""
@@ -224,7 +230,9 @@ class Zeldovich:
         k = synthesize_sharded_pair(
             self.cfg, self.tables, mesh, dtype=self.dtype, phi_pair=phi_pair
         )
-        x = ifft3_pair_sharded(jnp.swapaxes(k, 0, 1), mesh)
+        from ..parallel.pencil_mmfft import ifft3_pair_sharded_final
+
+        x = ifft3_pair_sharded_final(jnp.swapaxes(k, 0, 1), mesh)
         return jnp.swapaxes(x, 0, 1)
 
     # -- full run ------------------------------------------------------

@@ -70,6 +70,51 @@ def _check_divisible(shape, mesh: Mesh):
         )
 
 
+def _pencil_3d_final(block, transform):
+    """Transpose-light 3-D transform: 2 all-to-alls, output left in pencil
+    layout (X sharded over ("y", "z"), Y and Z unsharded locally).
+
+    The layout-preserving form costs 4 all-to-alls; when the consumer only
+    needs the *global logical* array (e.g. host gather for particle
+    output), declaring the pencil layout in out_specs halves ICI traffic.
+    """
+    nd = block.ndim
+    block = transform(block, -1)  # X local
+    # gather Y (pay with an X split over "y"): [.., Y, Zl, X/Py]
+    b = jax.lax.all_to_all(block, "y", split_axis=nd - 1, concat_axis=nd - 3,
+                           tiled=True)
+    b = transform(b, -3)
+    # gather Z (pay with an X split over "z"): [.., Y, Z, X/(Py*Pz)]
+    b = jax.lax.all_to_all(b, "z", split_axis=nd - 1, concat_axis=nd - 2,
+                           tiled=True)
+    return transform(b, -2)
+
+
+def _final_specs(ndim):
+    head = (None,) * (ndim - 3)
+    return (
+        P(*head, "y", "z", None),            # input: (y, z) block layout
+        P(*head, None, None, ("y", "z")),    # output: x-pencil layout
+    )
+
+
+def ifft3_sharded_final(garr, mesh: Mesh):
+    """Unnormalized inverse 3-D FFT leaving the result in pencil layout.
+
+    Same logical result as ifft3_sharded (the global array is identical);
+    only the output sharding differs: (..., None, None, ("y","z")).
+    """
+    _check_divisible(garr.shape, mesh)
+    in_spec, out_spec = _final_specs(garr.ndim)
+    f = shard_map(
+        partial(_pencil_3d_final, transform=_ifft_scaled),
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=out_spec,
+    )
+    return f(garr)
+
+
 def ifft3_sharded(garr, mesh: Mesh):
     """Unnormalized (FFTW +1) inverse 3-D FFT of a mesh-sharded grid.
 

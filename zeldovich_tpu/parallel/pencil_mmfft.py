@@ -57,6 +57,33 @@ def _spec(ndim):
     return P(*(None,) * (ndim - 3), "y", "z", None)
 
 
+def _pencil_3d_final_pair(block, sign):
+    """Transpose-light pair transform (2 all-to-alls; see pencil_fft)."""
+    nd = block.ndim
+    block = _cfft_last_pair(block, sign)
+    b = jax.lax.all_to_all(block, "y", split_axis=nd - 1, concat_axis=nd - 3,
+                           tiled=True)
+    moved = jnp.moveaxis(b, -3, -1)
+    b = jnp.moveaxis(_cfft_last_pair(moved, sign), -1, -3)
+    b = jax.lax.all_to_all(b, "z", split_axis=nd - 1, concat_axis=nd - 2,
+                           tiled=True)
+    moved = jnp.moveaxis(b, -2, -1)
+    return jnp.moveaxis(_cfft_last_pair(moved, sign), -1, -2)
+
+
+def ifft3_pair_sharded_final(gpair, mesh: Mesh):
+    """Inverse pair FFT leaving the result in x-pencil layout."""
+    _check(gpair.shape, mesh)
+    head = (None,) * (gpair.ndim - 3)
+    f = shard_map(
+        partial(_pencil_3d_final_pair, sign=+1),
+        mesh=mesh,
+        in_specs=(P(*head, "y", "z", None),),
+        out_specs=P(*head, None, None, ("y", "z")),
+    )
+    return f(gpair)
+
+
 def ifft3_pair_sharded(gpair, mesh: Mesh):
     """Unnormalized inverse (FFTW +1) of a sharded pair grid."""
     _check(gpair.shape, mesh)
