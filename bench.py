@@ -18,7 +18,7 @@ The measurement runs in a subprocess with a timeout; if the accelerator
 runtime is unreachable (e.g. a wedged device tunnel), it falls back to the
 CPU backend rather than hanging, and labels the metric accordingly.
 
-Env knobs: BENCH_PPD (default 256), BENCH_DTYPE (float32|float64, default
+Env knobs: BENCH_PPD (default 512), BENCH_DTYPE (float32|float64, default
 float32 -- the TPU fast path), BENCH_REPS (default 3), BENCH_TIMEOUT
 (seconds per attempt, default 1500).
 """
@@ -31,7 +31,7 @@ import time
 
 
 def child():
-    ppd = int(os.environ.get("BENCH_PPD", "256"))
+    ppd = int(os.environ.get("BENCH_PPD", "512"))
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     reps = int(os.environ.get("BENCH_REPS", "6"))
 
