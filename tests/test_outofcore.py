@@ -93,6 +93,28 @@ def test_checkpoint_roundtrip(tmp_path):
     compare_outputs(ref, param2)
 
 
+def test_one_compile_per_shape(tmp_path):
+    """y0 is a traced scalar: streaming N slabs compiles the kernel once.
+
+    (At 4096^3 with 64 slabs, a static y0 would mean 64 identical XLA
+    compilations per pass.)
+    """
+    from zeldovich_tpu.models.outofcore import _synth_ifft_zx, _synth_ifft_zx_pair
+
+    param = make_params(tmp_path)
+    m = OutOfCoreZeldovich(param, slab_bytes=16 * 16 * 2 * 16 * 4, pair=False)
+    assert m.slab < param.ppd  # several slabs
+    _synth_ifft_zx._clear_cache()
+    for y0 in range(0, param.ppd, m.slab):
+        _synth_ifft_zx(y0, m.slab, m.cfg, m.tables, m.dtype)
+    assert _synth_ifft_zx._cache_size() == 1
+
+    _synth_ifft_zx_pair._clear_cache()
+    for y0 in range(0, param.ppd, m.slab):
+        _synth_ifft_zx_pair(y0, m.slab, m.cfg, m.tables, m.dtype)
+    assert _synth_ifft_zx_pair._cache_size() == 1
+
+
 def test_pair_mode_matches(tmp_path):
     """Complex-free out-of-core run equals the complex one (incl f_NL)."""
     for extra in ({}, {"ZD_f_NL": 20.0, "ZD_n_s": 0.96, "Omega_M": 0.3}):

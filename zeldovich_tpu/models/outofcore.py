@@ -41,7 +41,7 @@ from ..utils.output import OutputWriter, setup_output_dir
 from .pipeline import Zeldovich
 
 
-@partial(jax.jit, static_argnames=("y0", "ny", "cfg", "dtype", "gen_phi"))
+@partial(jax.jit, static_argnames=("ny", "cfg", "dtype", "gen_phi"))
 def _synth_ifft_zx(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None,
                    D_source=None):
     """Synthesize a y-slab and inverse-FFT it along z and x."""
@@ -62,7 +62,7 @@ def _ifft_y(zslab):
 # -- complex-free (pair) stage kernels -----------------------------------
 
 
-@partial(jax.jit, static_argnames=("y0", "ny", "cfg", "dtype", "gen_phi"))
+@partial(jax.jit, static_argnames=("ny", "cfg", "dtype", "gen_phi"))
 def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None):
     """Pair twin of _synth_ifft_zx: (narray, 2, ny, Z, X)."""
     ppd = cfg.ppd

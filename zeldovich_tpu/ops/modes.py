@@ -366,9 +366,9 @@ def synthesize(
     return jnp.where(hard_zero[None], cdt(0), out)
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "gen_phi", "y0", "ny"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "gen_phi", "ny"))
 def synthesize_slab(
-    y0: int,
+    y0,
     ny: int,
     cfg: SynthConfig,
     tables: SynthTables,
