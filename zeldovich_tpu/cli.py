@@ -215,13 +215,10 @@ def main(argv=None):
         del kgrid
 
         with timers.phase("Output"):
+            from .utils.streamio import stream_xspace
+
             writer = OutputWriter(param)
-            xh = np.asarray(x)
-            if use_pair:
-                xh = xh[:, 0] + 1j * xh[:, 1]
-            for z in range(param.ppd):
-                writer.write_slab(z, xh[:, :, z, :])
-            writer.close()
+            stream_xspace(x, writer, pair=use_pair)
 
         if args.part == 2 and ckpt.exists():
             ckpt.unlink()

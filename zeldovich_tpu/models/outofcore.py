@@ -18,7 +18,12 @@ form of ``phi_k``), so no global gather is ever needed.
 
 Host<->device traffic is 2 reads + 2 writes of the grid per transform pass
 -- the same volume the reference moves to disk, but at PCIe/host-DMA
-bandwidth and overlapped with compute by slab pipelining.
+bandwidth.  Every streaming loop runs one slab ahead: slab i+1's device
+compute is dispatched (and its host copy started) before slab i is
+materialized on host, and particle serialization happens on a background
+writer thread (utils/streamio.py) -- so device compute, device->host DMA,
+and pack+IO overlap, unlike the reference's serial write loop
+(zeldovich.cpp:666-683).
 
 The staged buffer after pass 1 doubles as the PART1/PART2 checkpoint
 (the reference's on-disk block files, zeldovich.cpp:835-846).
@@ -38,7 +43,26 @@ from ..ops import mmfft
 from ..ops.modes import synthesize_slab
 from ..ops.modes_real import synthesize_pair
 from ..utils.output import OutputWriter, setup_output_dir
+from ..utils.streamio import AsyncSlabWriter, _start_host_copy
 from .pipeline import Zeldovich
+
+
+def _stream_to_host(items, sink):
+    """Pipeline device results to a host sink one step behind dispatch.
+
+    items: iterator of (key, device_array) whose computation is dispatched
+    lazily at iteration; sink(key, host_ndarray) consumes results.  Slab
+    i+1's compute (and async host copy) is in flight while slab i is
+    materialized and consumed.
+    """
+    prev = None
+    for key, arr in items:
+        _start_host_copy(arr)
+        if prev is not None:
+            sink(prev[0], np.asarray(prev[1]))
+        prev = (key, arr)
+    if prev is not None:
+        sink(prev[0], np.asarray(prev[1]))
 
 
 @partial(jax.jit, static_argnames=("ny", "cfg", "dtype", "gen_phi"))
@@ -162,17 +186,27 @@ class OutOfCoreZeldovich(Zeldovich):
     def _phi_stage(self):
         p = self.param
         stage = self._alloc_stage(1, "zeldovich.phi")
-        for y0 in range(0, p.ppd, self.slab):
-            if self.pair:
-                out = _synth_ifft_zx_pair(
-                    y0, self.slab, self.cfg, self.tables, self.dtype, gen_phi=True
-                )
-            else:
-                out = _synth_ifft_zx(
-                    y0, self.slab, self.cfg, self.tables, self.dtype,
-                    gen_phi=True, D_source=self._D_source,
-                )
-            stage[:, y0 : y0 + self.slab] = np.asarray(out)
+
+        def synth_items():
+            for y0 in range(0, p.ppd, self.slab):
+                if self.pair:
+                    out = _synth_ifft_zx_pair(
+                        y0, self.slab, self.cfg, self.tables, self.dtype,
+                        gen_phi=True,
+                    )
+                else:
+                    out = _synth_ifft_zx(
+                        y0, self.slab, self.cfg, self.tables, self.dtype,
+                        gen_phi=True, D_source=self._D_source,
+                    )
+                yield y0, out
+
+        _stream_to_host(
+            synth_items(),
+            lambda y0, h: stage.__setitem__(
+                (slice(None), slice(y0, y0 + self.slab)), h
+            ),
+        )
         f_NL = self.dtype(p.f_NL)
         inv_n3 = self.dtype(1.0 / p.ppd**3)
         zslice = (
@@ -180,16 +214,22 @@ class OutOfCoreZeldovich(Zeldovich):
             if self.pair
             else (slice(None),)
         )
-        for z0 in range(0, p.ppd, self.slab):
-            sel = (*zslice, slice(None), slice(z0, z0 + self.slab))
-            zin = jnp.asarray(stage[sel])
+
+        def z_items():
             fwd = _fwd_y_phi_nl_pair if self.pair else _fwd_y_phi_nl
-            stage[sel] = np.asarray(fwd(zin, f_NL, inv_n3))
-        for y0 in range(0, p.ppd, self.slab):
-            sel = (*zslice, slice(y0, y0 + self.slab))
-            yin = jnp.asarray(stage[sel])
+            for z0 in range(0, p.ppd, self.slab):
+                sel = (*zslice, slice(None), slice(z0, z0 + self.slab))
+                yield sel, fwd(jnp.asarray(stage[sel]), f_NL, inv_n3)
+
+        _stream_to_host(z_items(), stage.__setitem__)
+
+        def y_items():
             fwd = _fwd_zx_pair if self.pair else _fwd_zx
-            stage[sel] = np.asarray(fwd(yin))
+            for y0 in range(0, p.ppd, self.slab):
+                sel = (*zslice, slice(y0, y0 + self.slab))
+                yield sel, fwd(jnp.asarray(stage[sel]))
+
+        _stream_to_host(y_items(), stage.__setitem__)
         return stage  # phi(k), full Hermitian grid, host-resident
 
     def _phi_pair_for_slab(self, phi_stage, y0):
@@ -221,23 +261,32 @@ class OutOfCoreZeldovich(Zeldovich):
         phi_stage = self._phi_stage() if p.f_NL != 0 else None
         if stage is None:
             stage = self._alloc_stage(p.narray)
-        for y0 in range(0, p.ppd, self.slab):
-            phi_pair = (
-                self._phi_pair_for_slab(phi_stage, y0)
-                if phi_stage is not None
-                else None
-            )
-            if self.pair:
-                out = _synth_ifft_zx_pair(
-                    y0, self.slab, self.cfg, self.tables, self.dtype,
-                    phi_pair=phi_pair,
+
+        def items():
+            for y0 in range(0, p.ppd, self.slab):
+                phi_pair = (
+                    self._phi_pair_for_slab(phi_stage, y0)
+                    if phi_stage is not None
+                    else None
                 )
-            else:
-                out = _synth_ifft_zx(
-                    y0, self.slab, self.cfg, self.tables, self.dtype,
-                    phi_pair=phi_pair, D_source=self._D_source,
-                )
-            stage[:, y0 : y0 + self.slab] = np.asarray(out)
+                if self.pair:
+                    out = _synth_ifft_zx_pair(
+                        y0, self.slab, self.cfg, self.tables, self.dtype,
+                        phi_pair=phi_pair,
+                    )
+                else:
+                    out = _synth_ifft_zx(
+                        y0, self.slab, self.cfg, self.tables, self.dtype,
+                        phi_pair=phi_pair, D_source=self._D_source,
+                    )
+                yield y0, out
+
+        _stream_to_host(
+            items(),
+            lambda y0, h: stage.__setitem__(
+                (slice(None), slice(y0, y0 + self.slab)), h
+            ),
+        )
         del phi_stage
         return stage
 
@@ -248,17 +297,30 @@ class OutOfCoreZeldovich(Zeldovich):
         if stage is None:
             stage = self.stage_pass1()
         writer = OutputWriter(p)
-        for z0 in range(0, p.ppd, self.slab):
+        aw = AsyncSlabWriter(writer)
+
+        def items():
+            for z0 in range(0, p.ppd, self.slab):
+                if self.pair:
+                    sel = (
+                        slice(None), slice(None), slice(None),
+                        slice(z0, z0 + self.slab),
+                    )
+                    yield z0, _ifft_y_pair(jnp.asarray(stage[sel]))
+                else:
+                    yield z0, _ifft_y(
+                        jnp.asarray(stage[:, :, z0 : z0 + self.slab])
+                    )
+
+        def sink(z0, h):
             if self.pair:
-                sel = (slice(None), slice(None), slice(None), slice(z0, z0 + self.slab))
-                zp = np.asarray(_ifft_y_pair(jnp.asarray(stage[sel])))
-                zslab = zp[:, 0] + 1j * zp[:, 1]
-            else:
-                zslab = np.asarray(
-                    _ifft_y(jnp.asarray(stage[:, :, z0 : z0 + self.slab]))
-                )
-            for dz in range(zslab.shape[2]):
-                writer.write_slab(z0 + dz, zslab[:, :, dz, :])
-        writer.close()
+                h = h[:, 0] + 1j * h[:, 1]
+            for dz in range(h.shape[2]):
+                aw.submit(z0 + dz, h[:, :, dz, :])
+
+        try:
+            _stream_to_host(items(), sink)
+        finally:
+            aw.close()
         writer.report(self.Pk)
         return writer

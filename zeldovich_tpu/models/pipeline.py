@@ -22,7 +22,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import fft, plt as plt_ops
 from ..ops.modes import SynthConfig, SynthTables
@@ -155,15 +154,13 @@ class Zeldovich:
 
     def run_pair(self, setup_dir: bool = True) -> OutputWriter:
         """Full run through the complex-free path."""
+        from ..utils.streamio import stream_xspace
+
         p = self.param
         if setup_dir:
             setup_output_dir(p)
         writer = OutputWriter(p)
-        x = np.asarray(jax.jit(self.xspace_pair)())
-        xc = x[:, 0] + 1j * x[:, 1]
-        for z in range(p.ppd):
-            writer.write_slab(z, xc[:, :, z, :])
-        writer.close()
+        stream_xspace(jax.jit(self.xspace_pair)(), writer, pair=True)
         writer.report(self.Pk)
         return writer
 
@@ -237,14 +234,13 @@ class Zeldovich:
 
     # -- full run ------------------------------------------------------
     def run(self, setup_dir: bool = True) -> OutputWriter:
+        from ..utils.streamio import stream_xspace
+
         p = self.param
         if setup_dir:
             setup_output_dir(p)
         writer = OutputWriter(p)
-        x = np.asarray(self.xspace())
-        for z in range(p.ppd):
-            writer.write_slab(z, x[:, :, z, :])
-        writer.close()
+        stream_xspace(self.xspace(), writer)
         writer.report(self.Pk)
         return writer
 
