@@ -1,0 +1,164 @@
+"""Multi-host execution: N-process run is byte-identical to 1-process.
+
+Spawns real OS processes running the real CLI over jax.distributed (CPU
+backend, Gloo collectives, 2 virtual devices per process) and compares the
+ic_* byte image against the plain single-process pipeline.  Also unit-tests
+the parallel (pwrite-at-offset) writer mode against the serial append mode.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zeldovich_tpu.models.pipeline import Zeldovich
+from zeldovich_tpu.utils.output import OutputWriter, setup_output_dir
+from zeldovich_tpu.utils.params import Parameters
+
+ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+
+
+def make_params(outdir, ppd=16, **over):
+    d = dict(
+        BoxSize=100.0,
+        NP=ppd**3,
+        CPD=ppd,
+        ICFormat="RVZel",
+        InitialConditionsDirectory=str(outdir),
+        InitialRedshift=49.0,
+        ZD_Seed=12346,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.02,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+        ZD_Version=2,
+    )
+    d.update(over)
+    return Parameters.from_dict(d)
+
+
+def write_par(path, outdir, ppd=16, **over):
+    p = make_params(outdir, ppd=ppd, **over)
+    lines = [
+        f"BoxSize = {p.boxsize}",
+        f"NP = {ppd**3}",
+        f"CPD = {p.cpd}",
+        'ICFormat = "RVZel"',
+        f'InitialConditionsDirectory = "{outdir}"',
+        f"InitialRedshift = {p.z_initial}",
+        f"ZD_Seed = {p.seed}",
+        "ZD_NumBlock = 2",
+        "ZD_Pk_scale = 1.0",
+        "ZD_Pk_norm = 8.0",
+        "ZD_Pk_sigma = 0.02",
+        "ZD_Pk_smooth = 0.0",
+        f'ZD_Pk_filename = "{ASSETS / "wmap1new.pow"}"',
+        "ZD_Version = 2",
+    ]
+    for k, v in over.items():
+        lines.append(f"{k} = {v}")
+    path.write_text("\n".join(lines) + "\n")
+    return p
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn_cli(par, nproc, pid, port, devs_per_proc=2):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={devs_per_proc}",
+    )
+    return subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "zeldovich_tpu",
+            str(par),
+            "--distributed",
+            "--coordinator",
+            f"127.0.0.1:{port}",
+            "--num-processes",
+            str(nproc),
+            "--process-id",
+            str(pid),
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def _files_bytes(outdir: Path) -> dict:
+    return {
+        f.name: f.read_bytes() for f in sorted(outdir.glob("ic_*"))
+    } | {f.name: f.read_bytes() for f in sorted(outdir.glob("density*"))}
+
+
+@pytest.mark.parametrize("nproc", [4])
+def test_distributed_matches_single_process(tmp_path, nproc):
+    # reference: plain single-process pipeline
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir)).run()
+    ref = _files_bytes(ref_dir)
+    assert ref
+
+    # distributed: nproc real processes over a shared output dir
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    port = _free_port()
+    procs = [_spawn_cli(par, nproc, i, port) for i in range(nproc)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+    # process 0 reports the reduced global stats
+    err0 = outs[0][1]
+    assert "rms density variation" in err0
+    assert "Mpart/sec" in err0
+
+
+def test_parallel_writer_matches_append(tmp_path):
+    """pwrite-at-offset mode == serial append mode, incl. CPD < PPD files."""
+    ppd = 16
+    rng = np.random.default_rng(3)
+    slabs = rng.normal(size=(ppd, 2, ppd, ppd)) + 1j * rng.normal(
+        size=(ppd, 2, ppd, ppd)
+    )
+
+    pa = make_params(tmp_path / "a", CPD=5, ZD_qdensity=1)
+    setup_output_dir(pa)
+    wa = OutputWriter(pa)
+    for z in range(ppd):
+        wa.write_slab(z, slabs[z])
+    wa.close()
+
+    pb = make_params(tmp_path / "b", CPD=5, ZD_qdensity=1)
+    setup_output_dir(pb)
+    wb = OutputWriter(pb, parallel=True)
+    for z in np.random.default_rng(0).permutation(ppd):  # any order
+        wb.write_slab(int(z), slabs[z])
+    wb.close()
+
+    a, b = _files_bytes(pa.output_path), _files_bytes(pb.output_path)
+    assert a.keys() == b.keys() and len(a) > 2
+    for name in a:
+        assert a[name] == b[name], f"{name} differs"

@@ -60,13 +60,39 @@ def main(argv=None):
         help="force the complex-free (real-pair + matmul-FFT) compute path "
         "(auto-selected on backends without complex support)",
     )
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host run: jax.distributed over all processes (implies "
+        "--sharded); each process writes the output slabs it owns",
+    )
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.coordinator is not None:
+        args.distributed = True
+    if args.distributed:
+        args.sharded = True
 
     t_total = time.perf_counter()
 
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # u64 RNG limbs require x64
+    jax.config.update("jax_enable_x64", True)  # u64 RNG limbs
+
+    if args.distributed:
+        if args.part or args.out_of_core:
+            print(
+                "--distributed does not combine with --part/--out-of-core "
+                "yet",
+                file=sys.stderr,
+            )
+            return 1
+        from .parallel.multihost import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -130,7 +156,7 @@ def main(argv=None):
             else:
                 model = Zeldovich(param, dtype=dtype)
 
-        if args.part != 2:
+        if args.part != 2 and not args.distributed:
             setup_output_dir(param)
 
         if args.out_of_core:
@@ -167,6 +193,24 @@ def main(argv=None):
         from .utils.backend import supports_complex
 
         use_pair = args.pair or not supports_complex()
+
+        if args.distributed:
+            from .parallel.multihost import run_multihost
+
+            with timers.phase("Distributed sharded run"):
+                writer = run_multihost(model, mesh, pair=use_pair)
+            if jax.process_index() == 0:
+                writer.report(model.Pk)
+                timers.report()
+                elapsed = time.perf_counter() - t_total
+                print(
+                    f"zeldovich took {elapsed:.4g} sec for ppd {param.ppd} "
+                    f"({jax.process_count()} processes, "
+                    f"{len(jax.devices())} devices) ==> "
+                    f"{param.np / 1e6 / elapsed:.3g} Mpart/sec",
+                    file=sys.stderr,
+                )
+            return 0
 
         if args.part == 2:
             with timers.phase("Loading k-space checkpoint"):

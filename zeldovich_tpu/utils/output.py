@@ -19,12 +19,30 @@ and component-wise signed max displacement.
 from __future__ import annotations
 
 import math
+import os
 import sys
 from dataclasses import dataclass
 
 import numpy as np
 
 from .params import Parameters
+
+
+class _SparseFile:
+    """Pre-sized file written by pwrite at computed offsets (parallel IO)."""
+
+    def __init__(self, path, size: int):
+        self.fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
+        if os.fstat(self.fd).st_size < size:
+            os.ftruncate(self.fd, size)
+
+    def pwrite(self, data: bytes, offset: int):
+        os.pwrite(self.fd, data, offset)
+
+    def close(self):
+        if self.fd is not None:
+            os.close(self.fd)
+            self.fd = None
 
 _RVZEL = np.dtype(
     {
@@ -95,6 +113,7 @@ class OutputWriter:
     use_native: bool = True
     _densfp: object = None
     write_seconds: float = 0.0
+    parallel: bool = False  # multi-process: pwrite at slab offsets
 
     def __post_init__(self):
         p = self.param
@@ -102,6 +121,7 @@ class OutputWriter:
         # {sum dens^2, signed max_disp x, y, z}
         self._stats = np.zeros(4)
         self._native_buf = None
+        self._pfds: dict = {}
         if not self.just_density:
             self.dtype = output_dtype(p.ICFormat)
             if self.use_native:
@@ -113,7 +133,39 @@ class OutputWriter:
                     )
         if p.qdensity:
             name = str(p.density_filename).replace("{:d}", "{}").format(p.ppd)
-            self._densfp = open(p.output_path / name, "wb")
+            path = p.output_path / name
+            if self.parallel:
+                nslab = 1 if p.qoneslab >= 0 else p.ppd
+                self._densfp = _SparseFile(path, nslab * p.ppd * p.ppd * 4)
+            else:
+                self._densfp = open(path, "wb")
+
+    # -- parallel (multi-process) slab placement ------------------------
+    # The reference appends slabs in ascending z to ic_{z*CPD/PPD}
+    # (output.cpp:208-212).  Slab sizes are fixed, so in parallel mode any
+    # process can pwrite its slab at a computed offset; files are
+    # pre-sized (idempotently, every process computes the same size) so
+    # the byte image is identical to the serial append.
+    def _slab_index(self, z: int) -> tuple[int, int, int]:
+        """(file_number, slab_index_within_file, slabs_in_file) for z."""
+        p = self.param
+        if p.qoneslab >= 0:
+            return z * p.cpd // p.ppd, 0, 1
+        n = z * p.cpd // p.ppd
+        zmin = -((-n * p.ppd) // p.cpd)  # ceil(n*ppd/cpd)
+        znext = -((-(n + 1) * p.ppd) // p.cpd)
+        return n, z - zmin, min(znext, p.ppd) - zmin
+
+    def _pfd(self, n: int, nslab: int) -> int:
+        fd = self._pfds.get(n)
+        if fd is None:
+            fn = self.param.output_path / f"ic_{n}"
+            fd = os.open(fn, os.O_CREAT | os.O_WRONLY, 0o644)
+            size = nslab * self.param.ppd**2 * self.dtype.itemsize
+            if os.fstat(fd).st_size < size:
+                os.ftruncate(fd, size)
+            self._pfds[n] = fd
+        return fd
 
     @property
     def density_variance(self) -> float:
@@ -210,33 +262,59 @@ class OutputWriter:
                 self._native_buf,
                 self._stats,
             ):
-                fn = p.output_path / f"ic_{z * p.cpd // p.ppd}"
-                if not native.append(
-                    fn, self._native_buf, direct=bool(p.AllowDirectIO)
-                ):  # pragma: no cover - IO failure path
-                    with open(fn, "ab") as fp:
-                        self._native_buf.tofile(fp)
-                self.bytes_written += self._native_buf.nbytes
+                self._emit_records(z, self._native_buf)
                 if p.qdensity:
                     dens = np.ascontiguousarray(slabs[0]).real
-                    dens.astype(np.float32).tofile(self._densfp)
-                    self.bytes_written += dens.size * 4
+                    self._emit_density(z, dens)
                 return
         rec, dens = self.decode_slab(z, slabs)
         self._stats[0] += float(np.sum(dens * dens))
         if rec is not None:
-            fn = p.output_path / f"ic_{z * p.cpd // p.ppd}"
-            with open(fn, "ab") as fp:
-                rec.tofile(fp)
-            self.bytes_written += rec.nbytes
+            self._emit_records(z, rec)
         if p.qdensity:
-            dens.astype(np.float32).tofile(self._densfp)
-            self.bytes_written += dens.size * 4
+            self._emit_density(z, dens)
+
+    def _emit_records(self, z: int, buf: np.ndarray):
+        p = self.param
+        if self.parallel:
+            n, idx, nslab = self._slab_index(z)
+            os.pwrite(
+                self._pfd(n, nslab),
+                buf.tobytes(),
+                idx * p.ppd**2 * self.dtype.itemsize,
+            )
+        else:
+            fn = p.output_path / f"ic_{z * p.cpd // p.ppd}"
+            if buf is self._native_buf:
+                from .. import native
+
+                if not native.append(
+                    fn, buf, direct=bool(p.AllowDirectIO)
+                ):  # pragma: no cover - IO failure path
+                    with open(fn, "ab") as fp:
+                        buf.tofile(fp)
+            else:
+                with open(fn, "ab") as fp:
+                    buf.tofile(fp)
+        self.bytes_written += buf.nbytes
+
+    def _emit_density(self, z: int, dens: np.ndarray):
+        p = self.param
+        data = dens.astype(np.float32)
+        if self.parallel:
+            zi = 0 if p.qoneslab >= 0 else z
+            self._densfp.pwrite(data.tobytes(), zi * p.ppd * p.ppd * 4)
+        else:
+            data.tofile(self._densfp)
+        self.bytes_written += data.size * 4
 
     def close(self):
         if self._densfp is not None:
             self._densfp.close()
             self._densfp = None
+        for fd in self._pfds.values():
+            os.close(fd)
+        self._pfds.clear()
         if self.write_seconds > 0:
             # bandwidth report in the reference's style (output.cpp:319-325)
             print(
