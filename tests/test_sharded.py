@@ -147,6 +147,73 @@ def test_sharded_pair_f_NL():
     np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
 
 
+def test_sharded_plt_matches_single():
+    """PLT eigenmode gathers (tables.eig) inside shard_map."""
+    param = make_params(
+        ppd=16,
+        ZD_qPLT=1,
+        ZD_PLT_filename=str(ASSETS / "eigmodes128"),
+        ZD_qPLT_rescale=1,
+        ZD_PLT_target_z=5.0,
+    )
+    model = Zeldovich(param)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    got = np.asarray(model.xspace_sharded(mesh))
+    assert got.shape[0] == 4  # velocity arrays present
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+    # complex-free sharded twin
+    pair = np.asarray(model.xspace_pair_sharded(mesh))
+    np.testing.assert_allclose(
+        pair[:, 0] + 1j * pair[:, 1], want, atol=1e-11 * np.abs(want).max()
+    )
+
+
+def test_sharded_qdensity2_matches_single():
+    param = make_params(ppd=16, ZD_qdensity=2)
+    model = Zeldovich(param)
+    assert param.narray == 1
+    mesh = make_mesh(mesh_shape=(2, 4))
+    got = np.asarray(model.xspace_sharded(mesh))
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+def test_sharded_k_cutoff_matches_single():
+    param = make_params(ppd=16, ZD_k_cutoff=2.0)
+    model = Zeldovich(param)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    got = np.asarray(model.xspace_sharded(mesh))
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+def test_sharded_qoneslab_output(tmp_path):
+    """qoneslab through the sharded compute + streamed output."""
+    from zeldovich_tpu.utils.output import OutputWriter, setup_output_dir
+    from zeldovich_tpu.utils.streamio import stream_xspace
+
+    outs = {}
+    for mode in ("single", "sharded"):
+        param = make_params(
+            ppd=16,
+            ZD_qoneslab=3,
+            InitialConditionsDirectory=str(tmp_path / mode),
+        )
+        model = Zeldovich(param)
+        setup_output_dir(param)
+        writer = OutputWriter(param)
+        if mode == "sharded":
+            x = model.xspace_sharded(make_mesh(mesh_shape=(4, 2)))
+        else:
+            x = model.xspace()
+        stream_xspace(x, writer)
+        files = sorted(param.output_path.glob("ic_*"))
+        assert len(files) == 1  # only slab 3 written
+        outs[mode] = files[0].read_bytes()
+    assert outs["single"] == outs["sharded"]
+
+
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
 def test_pencil_final_matches_dense(mesh_shape):
     """The 2-transpose (pencil-layout-output) transform: same global array."""
