@@ -209,7 +209,10 @@ def test_f_NL_matches_emulator(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
 
 
-def test_part1_part2_checkpoint(tmp_path):
+@pytest.mark.parametrize(
+    "flags", [[], ["--sharded", "--pair"], ["--out-of-core"]]
+)
+def test_part1_part2_checkpoint(tmp_path, flags):
     from zeldovich_tpu.cli import main
 
     par = tmp_path / "run.par"
@@ -235,14 +238,14 @@ def test_part1_part2_checkpoint(tmp_path):
     ]
     par.write_text("\n".join(lines) + "\n")
 
-    assert main([str(par), "--part", "1"]) == 0
-    assert (tmp_path / "ic" / "zeldovich.kspace.npy").exists()
-    assert main([str(par), "--part", "2"]) == 0
-    assert not (tmp_path / "ic" / "zeldovich.kspace.npy").exists()
+    assert main([str(par), "--part", "1", *flags]) == 0
+    assert list((tmp_path / "ic").glob("zeldovich.kspace*"))  # chunked ckpt
+    assert main([str(par), "--part", "2", *flags]) == 0
+    assert not list((tmp_path / "ic").glob("zeldovich.kspace*"))
 
-    # equals a single-shot run
+    # equals a single-shot run (same flags -> same code path, bit-equal)
     two_phase = read_particles(tmp_path / "ic" / "ic_0", "RVZel")
-    assert main([str(par)]) == 0
+    assert main([str(par), *flags]) == 0
     one_shot = read_particles(tmp_path / "ic" / "ic_0", "RVZel")
     np.testing.assert_array_equal(two_phase, one_shot)
 

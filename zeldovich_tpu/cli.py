@@ -135,7 +135,11 @@ def main(argv=None):
         )
 
     timers = PhaseTimers()
-    ckpt = param.output_path / "zeldovich.kspace.npy"
+    # PART1/PART2 boundary state: a chunked y-slab directory (in-core) or
+    # the staged grid as a disk memmap (out-of-core) -- never a monolithic
+    # whole-grid file (utils/checkpoint.py)
+    ckpt = param.output_path / "zeldovich.kspace.ckpt"
+    ckpt_mm = param.output_path / "zeldovich.kspace.mm"
 
     profile_ctx = None
     if args.profile:
@@ -163,13 +167,16 @@ def main(argv=None):
             # streamed run (PART boundary is the staged host buffer)
             with timers.phase("Out-of-core streamed run"):
                 if args.part == 1:
-                    stage = model.stage_pass1()
-                    np.save(ckpt, np.asarray(stage))
-                    print(f"Checkpoint written to {ckpt}", file=sys.stderr)
+                    stage = model.stage_pass1(
+                        stage=model.stage_memmap(ckpt_mm, "w+")
+                    )
+                    stage.flush()
+                    print(f"Checkpoint written to {ckpt_mm}", file=sys.stderr)
                 elif args.part == 2:
-                    stage = np.load(ckpt, mmap_mode="r")
-                    model.run(setup_dir=False, stage=np.array(stage))
-                    ckpt.unlink()
+                    model.run(
+                        setup_dir=False, stage=model.stage_memmap(ckpt_mm, "r")
+                    )
+                    ckpt_mm.unlink()
                 else:
                     model.run(setup_dir=False)
             timers.report()
@@ -214,15 +221,27 @@ def main(argv=None):
 
         if args.part == 2:
             with timers.phase("Loading k-space checkpoint"):
-                kgrid = jnp.asarray(np.load(ckpt))
+                from .utils.checkpoint import load_kspace
+
+                kgrid = load_kspace(ckpt)
                 if mesh is not None:
                     from .parallel.mesh import grid_sharding
 
-                    kgrid = jax.device_put(kgrid, grid_sharding(mesh))
+                    kgrid = jax.device_put(
+                        jnp.asarray(kgrid),
+                        grid_sharding(mesh, batch_axes=kgrid.ndim - 3),
+                    )
+                else:
+                    kgrid = jnp.asarray(kgrid)
         else:
             with timers.phase("Mode synthesis (+ f_NL phi pass)"):
                 if use_pair and mesh is not None:
-                    kgrid = None  # fused into xspace_pair_sharded below
+                    # fused into xspace_pair_sharded unless checkpointing
+                    kgrid = (
+                        model.kspace_pair_sharded(mesh)
+                        if args.part == 1
+                        else None
+                    )
                 elif use_pair:
                     kgrid = model.kspace_pair()
                 elif mesh is not None:
@@ -233,22 +252,17 @@ def main(argv=None):
                     kgrid.block_until_ready()
 
         if args.part == 1:
-            if kgrid is None:
-                print(
-                    "--part 1 with --sharded --pair is not supported; "
-                    "run without --part",
-                    file=sys.stderr,
-                )
-                return 1
             with timers.phase("Writing k-space checkpoint"):
-                np.save(ckpt, np.asarray(kgrid))
+                from .utils.checkpoint import save_kspace
+
+                save_kspace(kgrid, ckpt)
             timers.report()
             print(f"Checkpoint written to {ckpt}", file=sys.stderr)
             return 0
 
         with timers.phase("Inverse FFT"):
             if use_pair and mesh is not None:
-                x = model.xspace_pair_sharded(mesh)
+                x = model.xspace_pair_sharded(mesh, kgrid)
             elif use_pair:
                 x = model.xspace_pair(kgrid)
             elif mesh is not None:
@@ -265,7 +279,9 @@ def main(argv=None):
             stream_xspace(x, writer, pair=use_pair)
 
         if args.part == 2 and ckpt.exists():
-            ckpt.unlink()
+            from .utils.checkpoint import remove_kspace
+
+            remove_kspace(ckpt)
 
         writer.report(model.Pk)
         timers.report()

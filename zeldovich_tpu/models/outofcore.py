@@ -168,14 +168,26 @@ class OutOfCoreZeldovich(Zeldovich):
         self._fnp = np.float64 if dtype == jnp.float64 else np.float32
 
     # -- staging buffer -------------------------------------------------
+    def stage_layout(self, narray=None):
+        """(shape, numpy dtype) of the host staging buffer."""
+        p = self.param
+        narray = p.narray if narray is None else narray
+        if self.pair:
+            return (narray, 2, p.ppd, p.ppd, p.ppd), self._fnp
+        return (narray, p.ppd, p.ppd, p.ppd), self._cnp
+
+    def stage_memmap(self, path, mode="w+"):
+        """Disk-backed staging buffer at ``path`` (the PART1/2 checkpoint).
+
+        O(1) extra memory at any grid size -- pass 1 streams y-slabs
+        straight into it; pass 2 streams z-slabs back out.
+        """
+        shape, dtype = self.stage_layout()
+        return np.memmap(path, dtype=dtype, mode=mode, shape=shape)
+
     def _alloc_stage(self, narray, name="zeldovich.stage"):
         p = self.param
-        if self.pair:
-            shape = (narray, 2, p.ppd, p.ppd, p.ppd)
-            dtype = self._fnp
-        else:
-            shape = (narray, p.ppd, p.ppd, p.ppd)
-            dtype = self._cnp
+        shape, dtype = self.stage_layout(narray)
         if self.backing == "disk":
             path = p.output_path / f"{name}.mm"
             path.parent.mkdir(parents=True, exist_ok=True)

@@ -204,8 +204,11 @@ class Zeldovich:
             kgrid = self.kspace_sharded(mesh)
         return ifft3_sharded_final(kgrid, mesh)
 
-    def xspace_pair_sharded(self, mesh):
-        """Sharded complex-free forward: (narray, 2, Y, Z, X) pairs."""
+    def kspace_pair_sharded(self, mesh):
+        """Sharded complex-free k-space: (narray, 2, Y, Z, X) pairs.
+
+        This is the PART1/PART2 boundary for the sharded pair path.
+        """
         from ..parallel.pencil_mmfft import fft3_pair_sharded, ifft3_pair_sharded
         from ..parallel.synthesis import synthesize_sharded_pair
 
@@ -224,12 +227,17 @@ class Zeldovich:
             phi_pair = fft3_pair_sharded(
                 jnp.stack([phi_x, jnp.zeros_like(phi_x)]), mesh
             )
-        k = synthesize_sharded_pair(
+        return synthesize_sharded_pair(
             self.cfg, self.tables, mesh, dtype=self.dtype, phi_pair=phi_pair
         )
+
+    def xspace_pair_sharded(self, mesh, kpair=None):
+        """Sharded complex-free forward: (narray, 2, Y, Z, X) pairs."""
         from ..parallel.pencil_mmfft import ifft3_pair_sharded_final
 
-        x = ifft3_pair_sharded_final(jnp.swapaxes(k, 0, 1), mesh)
+        if kpair is None:
+            kpair = self.kspace_pair_sharded(mesh)
+        x = ifft3_pair_sharded_final(jnp.swapaxes(kpair, 0, 1), mesh)
         return jnp.swapaxes(x, 0, 1)
 
     # -- full run ------------------------------------------------------
