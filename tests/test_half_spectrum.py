@@ -1,0 +1,117 @@
+"""Half-spectrum (c2r) path == full-grid complex path, bit-for-bit physics.
+
+The half path never materializes the Hermitian mirror half: both packings
+D+iF / D-iF are carried on ky in [0, half] and the y transform is a c2r
+matmul (ops/mmfft.c2r_y_pair).  These tests pin it against the complex
+full-grid pipeline across every mode combination it supports.
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zeldovich_tpu.models.pipeline import Zeldovich
+from zeldovich_tpu.utils.params import Parameters
+
+ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+
+
+def make_params(ppd=16, **over):
+    d = dict(
+        BoxSize=100.0,
+        NP=ppd**3,
+        CPD=100,
+        ICFormat="RVZel",
+        InitialConditionsDirectory="/tmp/ic_half",
+        InitialRedshift=49.0,
+        ZD_Seed=12346,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.02,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+        ZD_Version=2,
+    )
+    d.update(over)
+    return Parameters.from_dict(d)
+
+
+def check(model, atol_scale=1e-12):
+    pair = np.asarray(model.xspace_half_pair())
+    got = pair[:, 0] + 1j * pair[:, 1]
+    want = np.asarray(model.xspace())
+    np.testing.assert_allclose(
+        got, want, atol=atol_scale * np.abs(want).max(), rtol=0
+    )
+
+
+CASES = {
+    "plain": {},
+    "fixed_power": {"ZD_qPk_fix_to_mean": 1},
+    "k_cutoff": {"ZD_k_cutoff": 2.0},
+    "onemode": {"ZD_qonemode": 1, "ZD_one_mode": (2, 3, 1)},
+    "density_only": {"ZD_qdensity": 2, "ICFormat": "RVZel"},
+    "plt": {
+        "ZD_qPLT": 1,
+        "ZD_PLT_filename": str(ASSETS / "eigmodes128"),
+        "ZD_qPLT_rescale": 1,
+        "ZD_PLT_target_z": 5.0,
+    },
+    "f_NL": {"ZD_f_NL": 30.0, "ZD_n_s": 0.96, "Omega_M": 0.3},
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_half_matches_complex(case):
+    model = Zeldovich(make_params(**CASES[case]), dtype=jnp.float64)
+    check(model)
+
+
+def test_half_matches_pair_f32():
+    """f32 half path vs f32 full pair path (identical draw chain)."""
+    model = Zeldovich(make_params(), dtype=jnp.float32)
+    half = np.asarray(model.xspace_half_pair())
+    full = np.asarray(model.xspace_pair())
+    np.testing.assert_allclose(
+        half, full, atol=2e-5 * np.abs(full).max(), rtol=0
+    )
+
+
+def test_c2r_y_pair_matches_dense():
+    """The c2r y matmul == complex transform of the assembled spectrum."""
+    from zeldovich_tpu.ops import mmfft
+
+    rng = np.random.default_rng(7)
+    n, h = 16, 8
+    # random Hermitian-in-3D fields D, F on the half-spectrum:
+    # build full Hermitian grids, then take ky in [0, h]
+    def herm():
+        g = rng.normal(size=(n, n, n)) + 1j * rng.normal(size=(n, n, n))
+        gr = np.conj(
+            g[(-np.arange(n)) % n][:, (-np.arange(n)) % n][
+                :, :, (-np.arange(n)) % n
+            ]
+        )
+        out = 0.5 * (g + gr)
+        out[h] = 0.0  # y-Nyquist rule
+        return out
+
+    D, F = herm(), herm()
+    full = D + 1j * F
+    want = np.fft.ifftn(full) * full.size  # unnormalized +1 == numpy ifft*N
+
+    sp = (D + 1j * F)[: h + 1]
+    sm = (D - 1j * F)[: h + 1]
+    spm = np.stack(
+        [
+            np.stack([sp.real, sp.imag]),
+            np.stack([sm.real, sm.imag]),
+        ]
+    )  # (2, 2, h+1, n, n)
+    got = np.asarray(mmfft.ifft3_half_pair(jnp.asarray(spm)[None]))[0]
+    np.testing.assert_allclose(
+        got[0] + 1j * got[1], want, atol=1e-10 * np.abs(want).max()
+    )

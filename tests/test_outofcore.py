@@ -93,6 +93,51 @@ def test_checkpoint_roundtrip(tmp_path):
     compare_outputs(ref, param2)
 
 
+def test_sharded_outofcore_matches(tmp_path):
+    """Mesh + host staging combined (the -DDISK NumBlock>2 analog)."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from zeldovich_tpu.parallel.mesh import make_mesh
+
+    p1 = make_params(tmp_path / "a")
+    Zeldovich(p1).run()
+    for pair in (False, True):
+        sub = tmp_path / f"pair{pair}"
+        p2 = make_params(sub)
+        mesh = make_mesh(mesh_shape=(4, 2))
+        m = OutOfCoreZeldovich(p2, slab_bytes=1 << 16, pair=pair, mesh=mesh)
+        assert m.slab < p2.ppd  # several slabs
+        assert m.slab % 2 == 0 and m.slab % 4 == 0
+        m.run()
+        compare_outputs(p1, p2)
+
+
+def test_sharded_outofcore_plt(tmp_path):
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from zeldovich_tpu.parallel.mesh import make_mesh
+
+    plt_kw = dict(
+        ZD_qPLT=1,
+        ZD_PLT_filename=str(ASSETS / "eigmodes128"),
+        ZD_qPLT_rescale=1,
+        ZD_PLT_target_z=5.0,
+    )
+    p1 = make_params(tmp_path / "a", **plt_kw)
+    Zeldovich(p1).run()
+    p2 = make_params(tmp_path / "b", **plt_kw)
+    mesh = make_mesh(devices=jax.devices()[:4], mesh_shape=(2, 2))
+    m = OutOfCoreZeldovich(p2, slab_bytes=1 << 18, pair=False, mesh=mesh)
+    m.run()
+    compare_outputs(p1, p2)
+
+
 def test_one_compile_per_shape(tmp_path):
     """y0 is a traced scalar: streaming N slabs compiles the kernel once.
 
@@ -119,7 +164,10 @@ def test_pair_mode_matches(tmp_path):
     """Complex-free out-of-core run equals the complex one (incl f_NL)."""
     for extra in ({}, {"ZD_f_NL": 20.0, "ZD_n_s": 0.96, "Omega_M": 0.3}):
         p1 = make_params(tmp_path / "a", **extra)
-        OutOfCoreZeldovich(p1, slab_bytes=1 << 18, pair=False).run()
+        OutOfCoreZeldovich(p1, slab_bytes=1 << 15, pair=False).run()
         p2 = make_params(tmp_path / "b", **extra)
-        OutOfCoreZeldovich(p2, slab_bytes=1 << 18, pair=True).run()
+        # small slab: several passes (regression for the pair stage layout)
+        m = OutOfCoreZeldovich(p2, slab_bytes=1 << 15, pair=True)
+        assert m.slab < p2.ppd
+        m.run()
         compare_outputs(p1, p2)

@@ -151,11 +151,21 @@ def main(argv=None):
             if args.out_of_core:
                 from .models.outofcore import OutOfCoreZeldovich
 
+                ooc_mesh = None
+                if args.sharded:
+                    from .parallel.mesh import make_mesh
+
+                    ooc_mesh = make_mesh()
+                    print(
+                        f"Sharded out-of-core over mesh {dict(ooc_mesh.shape)}",
+                        file=sys.stderr,
+                    )
                 model = OutOfCoreZeldovich(
                     param,
                     dtype=dtype,
                     slab_bytes=args.slab_mb << 20,
                     backing=args.backing,
+                    mesh=ooc_mesh,
                 )
             else:
                 model = Zeldovich(param, dtype=dtype)
@@ -243,7 +253,9 @@ def main(argv=None):
                         else None
                     )
                 elif use_pair:
-                    kgrid = model.kspace_pair()
+                    # full-grid pair k-space only when checkpointing (the
+                    # half-spectrum fused step otherwise, see below)
+                    kgrid = model.kspace_pair() if args.part == 1 else None
                 elif mesh is not None:
                     kgrid = model.kspace_sharded(mesh)
                 else:
@@ -263,6 +275,8 @@ def main(argv=None):
         with timers.phase("Inverse FFT"):
             if use_pair and mesh is not None:
                 x = model.xspace_pair_sharded(mesh, kgrid)
+            elif use_pair and kgrid is None:
+                x = model.xspace_half_pair()  # fused fast path
             elif use_pair:
                 x = model.xspace_pair(kgrid)
             elif mesh is not None:

@@ -146,12 +146,19 @@ def _fwd_zx_pair(yslab):
 
 
 class OutOfCoreZeldovich(Zeldovich):
-    """Streamed pipeline with a host-resident (or disk-memmapped) grid."""
+    """Streamed pipeline with a host-resident (or disk-memmapped) grid.
+
+    With ``mesh``, each resident slab is sharded over the device mesh
+    (parallel/outofcore.py): the host buffer is the transpose fabric, the
+    mesh holds one slab -- grids beyond total-mesh HBM become reachable
+    (the reference's -DDISK at NumBlock > 2, README.md:98-100).
+    """
 
     def __init__(self, param, dtype=jnp.float64, slab_bytes=2 << 30,
-                 backing: str = "ram", pair: bool | None = None):
+                 backing: str = "ram", pair: bool | None = None, mesh=None):
         super().__init__(param, dtype=dtype)
         self.backing = backing
+        self.mesh = mesh
         if pair is None:
             from ..utils.backend import supports_complex
 
@@ -159,11 +166,39 @@ class OutOfCoreZeldovich(Zeldovich):
         self.pair = pair
         if pair and param.version == 1:
             raise NotImplementedError("ZD_Version=1 uses the complex path")
+        if mesh is not None and param.f_NL != 0:
+            raise NotImplementedError(
+                "f_NL with the sharded out-of-core path is not supported "
+                "yet (the phi round trip needs reflected-slab exchanges); "
+                "use --sharded (in-core) or --out-of-core without a mesh"
+            )
+        if mesh is not None and param.version == 1:
+            raise NotImplementedError("ZD_Version=1 uses the host path")
         itemsize = 16 if dtype == jnp.float64 else 8
         row = param.ppd * param.ppd * param.narray * itemsize
         self.slab = max(1, min(param.ppd, slab_bytes // row))
-        while param.ppd % self.slab:
-            self.slab -= 1
+        if mesh is None:
+            while param.ppd % self.slab:
+                self.slab -= 1
+        else:
+            # slab thickness serves as By (sharded over "y") in pass 1 and
+            # Bz (over "z") in pass 2: a multiple of both mesh extents that
+            # divides ppd, as close to the byte budget as possible
+            import math
+
+            q = math.lcm(mesh.shape["y"], mesh.shape["z"])
+            cands = [
+                s
+                for s in range(q, param.ppd + 1, q)
+                if param.ppd % s == 0
+            ]
+            if not cands:
+                raise ValueError(
+                    f"no valid slab thickness for ppd={param.ppd} on mesh "
+                    f"{dict(mesh.shape)}"
+                )
+            fitting = [s for s in cands if s <= self.slab]
+            self.slab = fitting[-1] if fitting else cands[0]
         self._cnp = np.complex128 if dtype == jnp.float64 else np.complex64
         self._fnp = np.float64 if dtype == jnp.float64 else np.float32
 
@@ -194,6 +229,16 @@ class OutOfCoreZeldovich(Zeldovich):
             return np.memmap(path, dtype=dtype, mode="w+", shape=shape)
         return np.empty(shape, dtype=dtype)
 
+    def _stage_y_sink(self, stage):
+        """Sink writing a y-slab into the staging buffer (pair-aware: the
+        y axis sits after the (re, im) axis in the pair layout)."""
+        head = (slice(None), slice(None)) if self.pair else (slice(None),)
+
+        def sink(y0, h):
+            stage[(*head, slice(y0, y0 + self.slab))] = h
+
+        return sink
+
     # -- phi round trip -------------------------------------------------
     def _phi_stage(self):
         p = self.param
@@ -213,12 +258,7 @@ class OutOfCoreZeldovich(Zeldovich):
                     )
                 yield y0, out
 
-        _stream_to_host(
-            synth_items(),
-            lambda y0, h: stage.__setitem__(
-                (slice(None), slice(y0, y0 + self.slab)), h
-            ),
-        )
+        _stream_to_host(synth_items(), self._stage_y_sink(stage))
         f_NL = self.dtype(p.f_NL)
         inv_n3 = self.dtype(1.0 / p.ppd**3)
         zslice = (
@@ -281,7 +321,14 @@ class OutOfCoreZeldovich(Zeldovich):
                     if phi_stage is not None
                     else None
                 )
-                if self.pair:
+                if self.mesh is not None:
+                    from ..parallel.outofcore import synth_ifft_zx_sharded
+
+                    out = synth_ifft_zx_sharded(
+                        y0, self.slab, self.cfg, self.tables, self.dtype,
+                        self.mesh, self.pair,
+                    )
+                elif self.pair:
                     out = _synth_ifft_zx_pair(
                         y0, self.slab, self.cfg, self.tables, self.dtype,
                         phi_pair=phi_pair,
@@ -293,12 +340,7 @@ class OutOfCoreZeldovich(Zeldovich):
                     )
                 yield y0, out
 
-        _stream_to_host(
-            items(),
-            lambda y0, h: stage.__setitem__(
-                (slice(None), slice(y0, y0 + self.slab)), h
-            ),
-        )
+        _stream_to_host(items(), self._stage_y_sink(stage))
         del phi_stage
         return stage
 
@@ -318,11 +360,17 @@ class OutOfCoreZeldovich(Zeldovich):
                         slice(None), slice(None), slice(None),
                         slice(z0, z0 + self.slab),
                     )
+                else:
+                    sel = (slice(None), slice(None), slice(z0, z0 + self.slab))
+                if self.mesh is not None:
+                    from ..parallel.outofcore import ifft_y_sharded
+
+                    # numpy in: jax shards the host slab at dispatch
+                    yield z0, ifft_y_sharded(stage[sel], self.mesh, self.pair)
+                elif self.pair:
                     yield z0, _ifft_y_pair(jnp.asarray(stage[sel]))
                 else:
-                    yield z0, _ifft_y(
-                        jnp.asarray(stage[:, :, z0 : z0 + self.slab])
-                    )
+                    yield z0, _ifft_y(jnp.asarray(stage[sel]))
 
         def sink(z0, h):
             if self.pair:

@@ -137,6 +137,45 @@ class Zeldovich:
             pk_eff=self.pk_eff,
         )
 
+    # -- half-spectrum (c2r) phases: the fastest single-device path -----
+    # Never materializes the Hermitian mirror half: z/x transforms run on
+    # (half+1)/ppd of the data, the y transform is a c2r matmul.  ~2.2x
+    # fewer FFT flops and half the k-space memory vs the full pair grid.
+    def kspace_half_pair(self):
+        """Half-spectrum pm-pairs (narray, 2, 2, half+1, Z, X).
+
+        Not applicable under f_NL: the input-phi pass repopulates Nyquist
+        modes unconditionally (zeldovich.cpp:393-400), leaving the ky=0
+        plane's kz-Nyquist row non-self-conjugate; the c2r transform would
+        project that (reference-matching) leakage out.  f_NL runs keep the
+        full-grid pair path for elementwise parity.
+        """
+        from ..ops.modes_real import synthesize_half_pair
+
+        if self._D_source is not None:
+            raise NotImplementedError("ZD_Version=1 uses the complex path")
+        if self.param.f_NL != 0:
+            raise NotImplementedError("f_NL uses the full-grid pair path")
+        return synthesize_half_pair(
+            self.cfg, self.tables, dtype=self.dtype, pk_eff=self.pk_eff
+        )
+
+    def xspace_half_pair(self, spm=None):
+        """Half-spectrum forward: same output as xspace_pair.
+
+        Falls back to the full-grid pair path for configurations the
+        half-spectrum form cannot represent (f_NL, ZD_Version=1).
+        """
+        from ..ops import mmfft
+
+        if spm is None:
+            if self.param.f_NL != 0 or self._D_source is not None:
+                return self.xspace_pair()
+            return _half_pair_forward(
+                self.cfg, self.tables, self.pk_eff, self.dtype
+            )
+        return mmfft.ifft3_half_pair(spm)
+
     def xspace_pair(self, kpair=None):
         """Complex-free inverse FFT: (narray, 2, Y, Z, X) real arrays."""
         from ..ops import mmfft
@@ -153,14 +192,14 @@ class Zeldovich:
         return jnp.swapaxes(x, 0, 1)
 
     def run_pair(self, setup_dir: bool = True) -> OutputWriter:
-        """Full run through the complex-free path."""
+        """Full run through the complex-free (half-spectrum) path."""
         from ..utils.streamio import stream_xspace
 
         p = self.param
         if setup_dir:
             setup_output_dir(p)
         writer = OutputWriter(p)
-        stream_xspace(jax.jit(self.xspace_pair)(), writer, pair=True)
+        stream_xspace(self.xspace_half_pair(), writer, pair=True)
         writer.report(self.Pk)
         return writer
 
@@ -256,6 +295,16 @@ class Zeldovich:
 @jax.jit
 def _ifft_all(kgrid):
     return fft.ifft3(kgrid, axes=(1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _half_pair_forward(cfg, tables, pk_eff, dtype):
+    """Fused half-spectrum forward step (synthesis + c2r matmul iFFT)."""
+    from ..ops import mmfft
+    from ..ops.modes_real import synthesize_half_pair
+
+    spm = synthesize_half_pair(cfg, tables, dtype=dtype, pk_eff=pk_eff)
+    return mmfft.ifft3_half_pair(spm)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype"))

@@ -131,6 +131,78 @@ def ifft3_pair(pair, axes=(-3, -2, -1), precision=lax.Precision.HIGHEST):
     return cfft3(pair, +1, axes, precision)
 
 
+# -- half-spectrum (c2r) path ---------------------------------------------
+
+def _c2r_mats(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """The c2r (irfft-like, unnormalized +1) y-axis matmul matrices.
+
+    For a Hermitian length-n spectrum g (g[n-k] = conj(g[k]), g[0] and
+    g[h] real), the inverse transform is
+        x[y] = g[0] + g[h] cos(pi y)
+             + 2 sum_{k=1}^{h-1} (Re g[k] cos t - Im g[k] sin t),
+    t = 2 pi k y / n.  Returned C, S are (n, h+1) with the 1/2 for the
+    doubled +/- packing combination folded in: x = C @ (2 Re g) + S @ (2 Im g).
+    """
+    h = n // 2
+    y = np.arange(n)[:, None]
+    k = np.arange(h + 1)[None, :]
+    t = 2.0 * np.pi / n * (y * k)
+    C = np.cos(t)
+    C[:, 0] *= 0.5
+    C[:, h] *= 0.5
+    S = -np.sin(t)
+    S[:, 0] = 0.0
+    S[:, h] = 0.0
+    return C.astype(dtype), S.astype(dtype)
+
+
+def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
+    """Half-spectrum inverse transform along the ky axis (unnormalized +1).
+
+    spm: (..., 2, 2, h+1, Z, X) = (.., +/- packing, re/im, ky, Z, X) where
+    sp = D + iF and sm = D - iF for two real (3-D Hermitian) fields D, F,
+    with the z and x axes ALREADY transformed to configuration space (the
+    per-plane transforms commute with the y transform, and conj-reflect in
+    (kz, kx) becomes plain conj under them).
+
+    Returns (..., 2, n, Z, X): the packed x-space pair (re = D_x, im = F_x)
+    -- identical to the full-grid transform of the assembled mirror grid,
+    at half the z/x transform cost and no assembly pass.
+
+    Math: sp + sm = 2 D~, sp - sm = 2 i F~; each field's y-skewer is a 1-D
+    Hermitian spectrum, inverted with two real [n, h+1] matmuls.
+    """
+    dtype = spm.dtype
+    n = spm.shape[-2]  # Z extent == full grid size
+    C, S = (jnp.asarray(m) for m in _c2r_mats(n, dtype))
+
+    spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
+    smr, smi = spm[..., 1, 0, :, :, :], spm[..., 1, 1, :, :, :]
+    twoDr, twoDi = spr + smr, spi + smi
+    twoFr, twoFi = spi - smi, smr - spr  # 2F = (sp - sm)/i
+
+    def mm(M, a):
+        # contract a's ky axis (-3) with M[y, k] -> (..., y, Z, X)
+        return jnp.einsum("yk,...kzx->...yzx", M, a, precision=precision)
+
+    out_re = mm(C, twoDr) + mm(S, twoDi)
+    out_im = mm(C, twoFr) + mm(S, twoFi)
+    return jnp.stack([out_re, out_im], axis=-4)
+
+
+def ifft3_half_pair(spm, precision=lax.Precision.HIGHEST):
+    """Unnormalized inverse 3-D transform of a half-spectrum pm-pair.
+
+    spm: (narray, 2, 2, h+1, Z, X) from modes_real.synthesize_half_pair.
+    Returns (narray, 2, Y, Z, X) -- the same x-space pair layout as
+    ifft3_pair of the full assembled grid.
+    """
+    re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+    for ax in (-2, -1):
+        re, im = cfft_axis(re, im, ax, +1, precision)
+    return c2r_y_pair(jnp.stack([re, im], axis=-4), precision)
+
+
 def fft3_pair(pair, axes=(-3, -2, -1), precision=lax.Precision.HIGHEST):
     """Forward (FFTW -1), unnormalized."""
     return cfft3(pair, -1, axes, precision)

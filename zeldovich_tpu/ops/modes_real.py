@@ -280,6 +280,95 @@ def synthesize_pair(
     return jnp.stack([jnp.stack(A), jnp.stack(B), jnp.stack(A2), jnp.stack(B2)])
 
 
+def _fix_plane0_pair(re, im, half):
+    """Self-conjugate fixup of a raw field's y=0 plane + zero-plane append.
+
+    Input (.., half, Z, X) raw planes for y in [0, half); output
+    (.., half+1, Z, X): plane 0 with the in-plane Hermitian fixup
+    (zeldovich.cpp:485-503), planes 1..half-1 raw, plane half zero
+    (the y-Nyquist rule).  This is the half-SPECTRUM form: the mirror
+    planes are never materialized -- the c2r y-transform (ops/mmfft)
+    consumes the conjugate symmetry analytically.
+    """
+    ppd = re.shape[-1]
+    z = jnp.arange(ppd)[:, None]
+    x = jnp.arange(ppd)[None, :]
+    fix = (z > half) | ((z == 0) & (x > half))
+    origin = (z == 0) & (x == 0)
+
+    def one(a, flip_sign):
+        p0 = a[..., 0, :, :]
+        p0 = jnp.where(fix, flip_sign * _reflect_zx(p0), p0)
+        p0 = jnp.where(origin, jnp.zeros_like(p0), p0)
+        nyq = jnp.zeros_like(p0)[..., None, :, :]
+        return jnp.concatenate(
+            [p0[..., None, :, :], a[..., 1:, :, :], nyq], axis=-3
+        )
+
+    return one(re, 1.0), one(im, -1.0)
+
+
+def _pack_pm(Dp, Fp):
+    """Both packings of two real fields: (2, 2, ...) = (+/-, re/im).
+
+    sp = D + iF, sm = D - iF; sp (+) and sm (-) on the half-spectrum
+    together determine the full Hermitian grid (the mirror plane of
+    D + iF is conj(D - iF) at the reflected index).
+    """
+    sp = jnp.stack([Dp[0] - Fp[1], Dp[1] + Fp[0]])
+    sm = jnp.stack([Dp[0] + Fp[1], Dp[1] - Fp[0]])
+    return jnp.stack([sp, sm])
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def synthesize_half_pair(
+    cfg: SynthConfig,
+    tables: SynthTables,
+    dtype=jnp.float32,
+    pk_eff=None,
+):
+    """Half-SPECTRUM complex-free synthesis: (narray, 2, 2, half+1, Z, X).
+
+    Axes: (packed array, +/- packing, re/im, ky in [0, half], Z, X).
+    Never materializes the Hermitian mirror half: downstream, the z/x
+    transforms run on (half+1)/ppd of the data and the y-axis transform is
+    a c2r matmul (mmfft.c2r_y_pair) -- ~2.2x fewer FFT flops and half the
+    k-space memory vs the full-grid path, with bit-equal output.
+
+    Requires an exactly Hermitian spectrum, which every non-f_NL mode
+    combination satisfies (the Nyquist zero rules guarantee it); the f_NL
+    input pass does not (see pipeline.kspace_half_pair).
+    """
+    ppd = cfg.ppd
+    half = ppd // 2
+    y = jnp.arange(half)[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+
+    D, F, G, H, f = _raw_fields_pair(
+        y, z, x, cfg, tables, dtype, identity_grid=True, pk_eff=pk_eff
+    )
+
+    def fix(w):
+        return _fix_plane0_pair(w[0], w[1], half)
+
+    if cfg.just_density:
+        zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+        return _pack_pm(fix(D), fix(zero2))[None]
+
+    A = _pack_pm(fix(D), fix(F))
+    B = _pack_pm(fix(G), fix(H))
+    if not cfg.qPLT:
+        return jnp.stack([A, B])
+    Ff = (F[0] * f, F[1] * f)
+    Gf = (G[0] * f, G[1] * f)
+    Hf = (H[0] * f, H[1] * f)
+    zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+    A2 = _pack_pm(fix(zero2), fix(Ff))
+    B2 = _pack_pm(fix(Gf), fix(Hf))
+    return jnp.stack([A, B, A2, B2])
+
+
 def _assemble_pair(re, im, half):
     """Full-space (re, im) from half-space raw fields (conj = negate im)."""
     ppd = re.shape[-1]

@@ -26,24 +26,30 @@ def _cfft_last_pair(block, sign):
     return jnp.stack([re, im])
 
 
+def _transform_axis_pair(block, axis_name, axis, sign):
+    """Pair transform along a sharded axis, borrowing locality from X.
+
+    Layout-preserving: all_to_all gathers the full axis (paying with an X
+    split over ``axis_name``), transforms it locally, and transposes back.
+    """
+    full = jax.lax.all_to_all(
+        block, axis_name, split_axis=block.ndim - 1,
+        concat_axis=block.ndim + axis, tiled=True,
+    )
+    moved = jnp.moveaxis(full, axis, -1)
+    moved = _cfft_last_pair(moved, sign)
+    full = jnp.moveaxis(moved, -1, axis)
+    return jax.lax.all_to_all(
+        full, axis_name, split_axis=block.ndim + axis,
+        concat_axis=block.ndim - 1, tiled=True,
+    )
+
+
 def _pencil_3d_pair(block, sign):
     """Local [2, A, Yl, Zl, X] block: 3-D transform with 4 all-to-alls."""
-    # X local
-    block = _cfft_last_pair(block, sign)
-    # Y (sharded over "y")
-    for axis_name, axis in (("y", -3), ("z", -2)):
-        full = jax.lax.all_to_all(
-            block, axis_name, split_axis=block.ndim - 1,
-            concat_axis=block.ndim + axis, tiled=True,
-        )
-        moved = jnp.moveaxis(full, axis, -1)
-        moved = _cfft_last_pair(moved, sign)
-        full = jnp.moveaxis(moved, -1, axis)
-        block = jax.lax.all_to_all(
-            full, axis_name, split_axis=block.ndim + axis,
-            concat_axis=block.ndim - 1, tiled=True,
-        )
-    return block
+    block = _cfft_last_pair(block, sign)  # X local
+    block = _transform_axis_pair(block, "y", -3, sign)
+    return _transform_axis_pair(block, "z", -2, sign)
 
 
 def _check(shape, mesh):
