@@ -1,0 +1,85 @@
+"""Ozaki-scheme int8 matmuls: f64-grade accuracy without f64 MXU hardware."""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zeldovich_tpu.ops import mmfft, ozaki
+
+ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+
+
+def test_omatmul_matches_f64():
+    rng = np.random.default_rng(0)
+    for k, n in ((64, 48), (256, 256)):
+        X = rng.normal(size=(3, 5, k)) * 10.0 ** rng.uniform(-6, 6)
+        W = rng.normal(size=(k, n))
+        want = X @ W
+        got = np.asarray(ozaki.omatmul(jnp.asarray(X), ozaki.slice_static(W)))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=1e-9 * scale, rtol=0)
+
+
+def test_omatmul_zero_and_tiny():
+    W = np.eye(8)
+    X = jnp.zeros((4, 8), dtype=jnp.float64)
+    got = np.asarray(ozaki.omatmul(X, ozaki.slice_static(W)))
+    np.testing.assert_array_equal(got, 0.0)
+    X = jnp.full((4, 8), 1e-200, dtype=jnp.float64)
+    got = np.asarray(ozaki.omatmul(X, ozaki.slice_static(W)))
+    np.testing.assert_allclose(got, 1e-200, rtol=1e-9)
+
+
+@pytest.mark.parametrize("n", [16, 48, 1536])  # dense, dense, four-step
+def test_cfft_ozaki_matches_numpy(n, monkeypatch):
+    monkeypatch.setenv("ZT_OZAKI", "1")
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+    re, im = mmfft.cfft_last(jnp.asarray(a.real), jnp.asarray(a.imag), -1)
+    want = np.fft.fft(a, axis=-1)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(
+        np.asarray(re) + 1j * np.asarray(im), want, atol=1e-9 * scale, rtol=0
+    )
+
+
+def test_half_pipeline_ozaki_parity(monkeypatch):
+    """f64 half-spectrum pipeline with int8 matmuls == plain f64 (CPU)."""
+    from zeldovich_tpu.models.pipeline import Zeldovich
+    from zeldovich_tpu.utils.params import Parameters
+
+    def params():
+        # BoxSize unique to this test: a distinct SynthConfig, so the
+        # ZT_OZAKI=1 trace cannot reuse a cached plain-f64 compilation of
+        # the same jitted forward from another test in this process
+        return Parameters.from_dict(
+            dict(
+                BoxSize=123.0,
+                NP=16**3,
+                CPD=16,
+                ICFormat="RVZel",
+                InitialConditionsDirectory="/tmp/ic_oz",
+                InitialRedshift=49.0,
+                ZD_Seed=777,
+                ZD_NumBlock=2,
+                ZD_Pk_scale=1.0,
+                ZD_Pk_norm=8.0,
+                ZD_Pk_sigma=0.02,
+                ZD_Pk_smooth=0.0,
+                ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+                ZD_Version=2,
+            )
+        )
+
+    monkeypatch.setenv("ZT_OZAKI", "1")
+    got = np.asarray(Zeldovich(params(), dtype=jnp.float64).xspace_half_pair())
+    monkeypatch.delenv("ZT_OZAKI")
+    want = np.asarray(Zeldovich(params(), dtype=jnp.float64).xspace())
+    np.testing.assert_allclose(
+        got[:, 0] + 1j * got[:, 1],
+        want,
+        atol=1e-9 * np.abs(want).max(),
+        rtol=0,
+    )

@@ -70,6 +70,66 @@ def _cmatmul(ar, ai, br, bi, precision):
     return k1 - k2, k1 + k3
 
 
+# -- f64 transforms on the int8 MXU (ops/ozaki.py) -------------------------
+
+from functools import lru_cache
+
+from . import ozaki
+
+
+@lru_cache(maxsize=None)
+def _dft_sliced(n: int, sign: int, transposed: bool = False):
+    """Host-precomputed int8 limb slices of the length-n DFT matrices.
+
+    Karatsuba needs (Wr+Wi, Wi, Wr); ``transposed`` serves the four-step
+    matrix-on-the-left contraction as data @ W^T.
+    """
+    wr, wi = _dft_mats(n, sign, np.float64)
+    if transposed:
+        wr, wi = wr.T.copy(), wi.T.copy()  # symmetric, but keep it general
+    return (
+        ozaki.slice_static(wr + wi),
+        ozaki.slice_static(wi),
+        ozaki.slice_static(wr),
+    )
+
+
+def _cmatmul_ozaki(ar, ai, sliced):
+    """Karatsuba complex matmul with f64-grade int8 (Ozaki) real matmuls."""
+    s_rpi, s_i, s_r = sliced
+    k1 = ozaki.omatmul(ar, s_rpi)
+    k2 = ozaki.omatmul(ai + ar, s_i)
+    k3 = ozaki.omatmul(ai - ar, s_r)
+    return k1 - k2, k1 + k3
+
+
+def _cfft_last_ozaki(re, im, sign: int):
+    """float64 DFT along the last axis via exact-accumulation int8 matmuls.
+
+    Mirrors cfft_last's dense/four-step split; the twiddle and recombine
+    stay f64 elementwise (cheap even when emulated).
+    """
+    n = re.shape[-1]
+    n1, n2 = _factor(n)
+    if n1 == 1 or n <= DENSE_MAX:
+        return _cmatmul_ozaki(re, im, _dft_sliced(n, sign))
+
+    shape = re.shape[:-1]
+    ar = re.reshape(*shape, n1, n2)
+    ai = im.reshape(*shape, n1, n2)
+    # step 1 (W @ A over n1) as A^T @ W^T
+    art, ait = jnp.swapaxes(ar, -1, -2), jnp.swapaxes(ai, -1, -2)
+    crt, cit = _cmatmul_ozaki(art, ait, _dft_sliced(n1, sign, transposed=True))
+    cr, ci = jnp.swapaxes(crt, -1, -2), jnp.swapaxes(cit, -1, -2)
+    tr, ti = (jnp.asarray(m) for m in _twiddle(n1, n2, sign, np.float64))
+    dr = cr * tr - ci * ti
+    di = cr * ti + ci * tr
+    er, ei = _cmatmul_ozaki(dr, di, _dft_sliced(n2, sign))
+    er = jnp.swapaxes(er, -1, -2).reshape(*shape, n)
+    ei = jnp.swapaxes(ei, -1, -2).reshape(*shape, n)
+    return er, ei
+
+
 def cfft_last(re, im, sign: int, precision=lax.Precision.HIGHEST):
     """Complex DFT along the last axis of (re, im) real arrays.
 
@@ -77,6 +137,8 @@ def cfft_last(re, im, sign: int, precision=lax.Precision.HIGHEST):
     """
     n = re.shape[-1]
     dtype = re.dtype
+    if ozaki.use_ozaki(dtype):
+        return _cfft_last_ozaki(re, im, sign)
     n1, n2 = _factor(n)
     if n1 == 1 or n <= DENSE_MAX:
         # prime or moderate size: one dense DFT matmul (x @ W^T, W[k,j])
@@ -156,6 +218,13 @@ def _c2r_mats(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return C.astype(dtype), S.astype(dtype)
 
 
+@lru_cache(maxsize=None)
+def _c2r_sliced(n: int):
+    """int8 limb slices of the TRANSPOSED c2r matrices (data @ M^T form)."""
+    C, S = _c2r_mats(n, np.float64)
+    return ozaki.slice_static(C.T.copy()), ozaki.slice_static(S.T.copy())
+
+
 def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
     """Half-spectrum inverse transform along the ky axis (unnormalized +1).
 
@@ -174,12 +243,25 @@ def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
     """
     dtype = spm.dtype
     n = spm.shape[-2]  # Z extent == full grid size
-    C, S = (jnp.asarray(m) for m in _c2r_mats(n, dtype))
 
     spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
     smr, smi = spm[..., 1, 0, :, :, :], spm[..., 1, 1, :, :, :]
     twoDr, twoDi = spr + smr, spi + smi
     twoFr, twoFi = spi - smi, smr - spr  # 2F = (sp - sm)/i
+
+    if ozaki.use_ozaki(dtype):
+        CT_s, ST_s = _c2r_sliced(n)
+
+        def mm(M_sliced, a):
+            moved = jnp.moveaxis(a, -3, -1)  # (..., Z, X, k)
+            out = ozaki.omatmul(moved, M_sliced)
+            return jnp.moveaxis(out, -1, -3)
+
+        out_re = mm(CT_s, twoDr) + mm(ST_s, twoDi)
+        out_im = mm(CT_s, twoFr) + mm(ST_s, twoFi)
+        return jnp.stack([out_re, out_im], axis=-4)
+
+    C, S = (jnp.asarray(m) for m in _c2r_mats(n, dtype))
 
     def mm(M, a):
         # contract a's ky axis (-3) with M[y, k] -> (..., y, Z, X)

@@ -18,8 +18,6 @@ more than one slab.  Slab thickness must divide by both mesh axes.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
