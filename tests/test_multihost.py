@@ -75,7 +75,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _spawn_cli(par, nproc, pid, port, devs_per_proc=2):
+def _spawn_cli(par, nproc, pid, port, devs_per_proc=2, extra=()):
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
@@ -95,6 +95,7 @@ def _spawn_cli(par, nproc, pid, port, devs_per_proc=2):
             str(nproc),
             "--process-id",
             str(pid),
+            *extra,
         ],
         env=env,
         stdout=subprocess.PIPE,
@@ -134,6 +135,35 @@ def test_distributed_matches_single_process(tmp_path, nproc):
     err0 = outs[0][1]
     assert "rms density variation" in err0
     assert "Mpart/sec" in err0
+
+
+def test_distributed_pair_matches_single(tmp_path):
+    """The complex-free (TPU-pod) distributed path vs single-process."""
+    from zeldovich_tpu.utils.output import read_particles
+
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir)).run()
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    port = _free_port()
+    procs = [
+        _spawn_cli(par, 2, i, port, devs_per_proc=4, extra=("--pair",))
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    ref_files = sorted(ref_dir.glob("ic_*"))
+    got_files = sorted(mh_dir.glob("ic_*"))
+    assert [f.name for f in ref_files] == [f.name for f in got_files]
+    for fr, fg in zip(ref_files, got_files):
+        ra = read_particles(fr, "RVZel")
+        rb = read_particles(fg, "RVZel")
+        np.testing.assert_array_equal(ra["i"], rb["i"])
+        np.testing.assert_allclose(ra["displ"], rb["displ"], atol=1e-12)
+        np.testing.assert_allclose(ra["vel"], rb["vel"], atol=1e-12)
 
 
 def test_parallel_writer_matches_append(tmp_path):
