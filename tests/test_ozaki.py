@@ -83,3 +83,39 @@ def test_half_pipeline_ozaki_parity(monkeypatch):
         atol=1e-9 * np.abs(want).max(),
         rtol=0,
     )
+
+
+def test_df64_mixed_mode_parity():
+    """--dtype df64: f32 draws + f64 transforms, <1e-6 displacement error."""
+    from pathlib import Path
+
+    from zeldovich_tpu.models.pipeline import Zeldovich
+    from zeldovich_tpu.utils.params import Parameters
+
+    def params(box):
+        return Parameters.from_dict(
+            dict(
+                BoxSize=box,
+                NP=32**3,
+                CPD=32,
+                ICFormat="RVZel",
+                InitialConditionsDirectory="/tmp/ic_df64",
+                InitialRedshift=49.0,
+                ZD_Seed=12346,
+                ZD_NumBlock=2,
+                ZD_Pk_scale=1.0,
+                ZD_Pk_norm=8.0,
+                ZD_Pk_sigma=0.02,
+                ZD_Pk_smooth=0.0,
+                ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+                ZD_Version=2,
+            )
+        )
+
+    got = np.asarray(Zeldovich(params(321.0), dtype=jnp.float32).xspace_half_df64())
+    assert got.dtype == np.float64
+    want = np.asarray(Zeldovich(params(321.0), dtype=jnp.float64).xspace())
+    dsp_g = np.stack([got[0, 1], got[1, 0], got[1, 1]])
+    dsp_w = np.stack([want[0].imag, want[1].real, want[1].imag])
+    err = np.abs(dsp_g - dsp_w).max()
+    assert err < 1e-6, f"df64 displacement error {err:.3e} >= 1e-6"

@@ -28,7 +28,12 @@ def main(argv=None):
     ap.add_argument("param_file", help="ParseHeader-style parameter file")
     ap.add_argument("--part", type=int, choices=(1, 2), default=None)
     ap.add_argument(
-        "--dtype", choices=("float64", "float32"), default="float64"
+        "--dtype",
+        choices=("float64", "float32", "df64"),
+        default="float64",
+        help="float64: full parity; float32: fastest; df64: mixed parity "
+        "mode (f32 draw chain + f64-grade int8-MXU transforms, <1e-6 "
+        "displacement error at a small multiple of the f32 cost)",
     )
     ap.add_argument("--profile", metavar="DIR", default=None)
     ap.add_argument(
@@ -117,6 +122,15 @@ def main(argv=None):
         return 1
     print(f"Generating ICs for ppd = {param.ppd}", file=sys.stderr)
 
+    if args.dtype == "df64" and (
+        args.sharded or args.out_of_core or args.distributed or args.part
+    ):
+        print(
+            "--dtype df64 is the single-device in-core parity mode; use "
+            "float64 or float32 with --sharded/--out-of-core/--part",
+            file=sys.stderr,
+        )
+        return 1
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     itemsize = 16 if args.dtype == "float64" else 8
 
@@ -209,7 +223,7 @@ def main(argv=None):
 
         from .utils.backend import supports_complex
 
-        use_pair = args.pair or not supports_complex()
+        use_pair = args.pair or args.dtype == "df64" or not supports_complex()
 
         if args.distributed:
             from .parallel.multihost import run_multihost
@@ -275,6 +289,8 @@ def main(argv=None):
         with timers.phase("Inverse FFT"):
             if use_pair and mesh is not None:
                 x = model.xspace_pair_sharded(mesh, kgrid)
+            elif use_pair and kgrid is None and args.dtype == "df64":
+                x = model.xspace_half_df64()  # mixed parity mode
             elif use_pair and kgrid is None:
                 x = model.xspace_half_pair()  # fused fast path
             elif use_pair:

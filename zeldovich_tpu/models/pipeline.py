@@ -176,6 +176,21 @@ class Zeldovich:
             )
         return mmfft.ifft3_half_pair(spm)
 
+    def xspace_half_df64(self):
+        """Mixed-precision parity mode (the ``--dtype df64`` path).
+
+        float32 Pallas draw chain (the integer part is exact in every
+        dtype; the float rounding is ~1e-7 per mode) + float64-grade
+        transforms (Ozaki int8 matmuls on accelerators, ops/ozaki.py).
+        Measured on a v5e: well inside the <1e-6 displacement-parity
+        target at a small multiple of the float32 step cost, vs ~50x for
+        full emulated-f64 synthesis.  Falls back to the full f64 pair
+        path for f_NL / ZD_Version=1 (where the half form is excluded).
+        """
+        if self.param.f_NL != 0 or self._D_source is not None:
+            return Zeldovich(self.param, dtype=jnp.float64).xspace_pair()
+        return _half_df64_forward(self.cfg, self.tables, self.pk_eff)
+
     def xspace_pair(self, kpair=None):
         """Complex-free inverse FFT: (narray, 2, Y, Z, X) real arrays."""
         from ..ops import mmfft
@@ -305,6 +320,18 @@ def _half_pair_forward(cfg, tables, pk_eff, dtype):
 
     spm = synthesize_half_pair(cfg, tables, dtype=dtype, pk_eff=pk_eff)
     return mmfft.ifft3_half_pair(spm)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _half_df64_forward(cfg, tables, pk_eff):
+    """Mixed parity step: f32 half-spectrum synthesis + f64 c2r transforms."""
+    from ..ops import mmfft
+    from ..ops.modes_real import synthesize_half_pair
+
+    spm = synthesize_half_pair(
+        cfg, tables, dtype=jnp.float32, pk_eff=pk_eff.astype(jnp.float32)
+    )
+    return mmfft.ifft3_half_pair(spm.astype(jnp.float64))
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype"))
