@@ -329,7 +329,11 @@ def _half_df64_forward(cfg, tables, pk_eff):
     from ..ops.modes_real import synthesize_half_pair
 
     spm = synthesize_half_pair(
-        cfg, tables, dtype=jnp.float32, pk_eff=pk_eff.astype(jnp.float32)
+        cfg,
+        tables,
+        dtype=jnp.float32,
+        pk_eff=pk_eff.astype(jnp.float32),
+        accurate=True,
     )
     return mmfft.ifft3_half_pair(spm.astype(jnp.float64))
 

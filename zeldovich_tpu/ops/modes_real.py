@@ -72,7 +72,7 @@ def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
 
 def _raw_fields_pair(
     sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_pair_val=None,
-    identity_grid=False, pk_eff=None, allow_pallas=True,
+    identity_grid=False, pk_eff=None, allow_pallas=True, accurate=False,
 ):
     """Real-pair twin of modes._raw_fields at source indices (sy, sz, sx).
 
@@ -122,6 +122,33 @@ def _raw_fields_pair(
         else:
             Pk = tables.pk_n2[n2].astype(fdt)
             zf = jnp.where(zero, fdt(0), fdt(1))
+        if accurate:
+            # --dtype df64 draw chain: TPU's stock f32 transcendentals are
+            # several ulp loose (measured ~2.7e-5 relative on k-modes);
+            # these replacements are exact-primitive f32 (ops/accurate.py)
+            # and consume the full 64-bit draw via split hi/lo uniforms.
+            from . import accurate as acc
+
+            R_hi, R_lo, T_hi, T_lo = pcg_device.uniform_pair_split_from_affine(
+                plane, m, c
+            )
+            Pk_b = (
+                jnp.broadcast_to(Pk, R_hi.shape) if pk_eff is not None else Pk
+            )
+            if cfg.fixed_power:
+                amp = jnp.sqrt(Pk_b)
+            else:
+                amp = jnp.sqrt(-Pk_b * acc.log_uniform(R_hi, R_lo))
+            cosv, sinv = acc.sincos_2pi(T_hi, T_lo)
+            D_re = amp * cosv
+            D_im = amp * sinv
+            if pk_eff is None:
+                zf = jnp.where(zero, fdt(0), fdt(1))
+                D_re = D_re * zf
+                D_im = D_im * zf
+            return _finish_fields(
+                D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd
+            )
         if allow_pallas and _use_pallas(dtype):
             if pk_eff is not None:
                 pk_b, live_b = pk_eff, None
@@ -320,12 +347,13 @@ def _pack_pm(Dp, Fp):
     return jnp.stack([sp, sm])
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "accurate"))
 def synthesize_half_pair(
     cfg: SynthConfig,
     tables: SynthTables,
     dtype=jnp.float32,
     pk_eff=None,
+    accurate: bool = False,
 ):
     """Half-SPECTRUM complex-free synthesis: (narray, 2, 2, half+1, Z, X).
 
@@ -346,7 +374,8 @@ def synthesize_half_pair(
     x = jnp.arange(ppd)[None, None, :]
 
     D, F, G, H, f = _raw_fields_pair(
-        y, z, x, cfg, tables, dtype, identity_grid=True, pk_eff=pk_eff
+        y, z, x, cfg, tables, dtype, identity_grid=True, pk_eff=pk_eff,
+        accurate=accurate,
     )
 
     def fix(w):

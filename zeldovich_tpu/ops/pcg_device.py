@@ -161,6 +161,38 @@ def uniform_from_u64(r, dtype=jnp.float64):
     return jnp.where(r == np.uint64(0xFFFFFFFFFFFFFFFF), dtype(1.0), v)
 
 
+def split_uniform_f32(r):
+    """uint64 -> (hi, lo) f32 pair: hi + lo == the (0, 1] uniform to 2^-64.
+
+    hi carries the top 24 bits (exact int->f32 converts), lo the next 40
+    (one rounded f32 add, ~2^-72 absolute error).  Lets f32 pipelines
+    consume the full 64-bit draw (the single-f32 uniform quantizes angles
+    at 2^-24, which alone costs ~2e-7 displacement error).
+    """
+    r1 = r + np.uint64(1)  # wraps to 0 exactly when r == 2^64-1 (-> 1.0)
+    a = (r1 >> np.uint64(40)).astype(jnp.int32)  # < 2^24: exact in f32
+    b = ((r1 >> np.uint64(16)) & np.uint64(0xFFFFFF)).astype(jnp.int32)
+    c = (r1 & np.uint64(0xFFFF)).astype(jnp.int32)
+    F = jnp.float32
+    hi = a.astype(F) * F(2.0**-24)
+    lo = b.astype(F) * F(2.0**-48) + c.astype(F) * F(2.0**-64)
+    all_ones = r == np.uint64(0xFFFFFFFFFFFFFFFF)
+    hi = jnp.where(all_ones, F(1.0), hi)
+    lo = jnp.where(all_ones, F(0.0), lo)
+    return hi, lo
+
+
+def uniform_pair_split_from_affine(plane_state, m, c):
+    """Split-f32 twin of uniform_pair_from_affine.
+
+    Returns (R_hi, R_lo, T_hi, T_lo): both 64-bit draws as f32 hi/lo pairs.
+    """
+    state = madd128(m, plane_state, c)
+    s1 = bump(state)
+    s2 = bump(s1)
+    return (*split_uniform_f32(output_u64(s1)), *split_uniform_f32(output_u64(s2)))
+
+
 def mode_uniform_pair(plane_state, mz, cz, mx, cx, dtype=jnp.float64):
     """The two uniforms (R, theta_frac) for a batch of modes.
 
