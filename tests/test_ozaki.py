@@ -85,6 +85,35 @@ def test_half_pipeline_ozaki_parity(monkeypatch):
     )
 
 
+def test_omatmul_pair_matches_f64():
+    """The two-float (no-f64) form matches f64 matmuls to ~2^-40."""
+    rng = np.random.default_rng(5)
+    for k, n in ((64, 48), (512, 512)):
+        X = rng.normal(size=(3, k))
+        Xh = X.astype(np.float32)
+        Xl = (X - Xh.astype(np.float64)).astype(np.float32)
+        W = rng.normal(size=(k, n))
+        want = X @ W
+        hi, lo = ozaki.omatmul_pair(
+            (jnp.asarray(Xh), jnp.asarray(Xl)), ozaki.slice_static(W)
+        )
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=3e-10 * scale, rtol=0)
+
+
+def test_ifft3_half_df64_matches_f64():
+    """Pair transform of a half-spectrum == the f64 transform."""
+    rng = np.random.default_rng(6)
+    h = 8
+    spm = rng.normal(size=(2, 2, 2, h + 1, 2 * h, 2 * h)).astype(np.float32)
+    want = np.asarray(mmfft.ifft3_half_pair(jnp.asarray(spm).astype(jnp.float64)))
+    got = np.asarray(mmfft.ifft3_half_df64(jnp.asarray(spm)))
+    np.testing.assert_allclose(
+        got, want, atol=1e-9 * np.abs(want).max(), rtol=0
+    )
+
+
 def test_df64_mixed_mode_parity():
     """--dtype df64: f32 draws + f64 transforms, <1e-6 displacement error."""
     from pathlib import Path

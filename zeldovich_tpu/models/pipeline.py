@@ -335,7 +335,7 @@ def _half_df64_forward(cfg, tables, pk_eff):
         pk_eff=pk_eff.astype(jnp.float32),
         accurate=True,
     )
-    return mmfft.ifft3_half_pair(spm.astype(jnp.float64))
+    return mmfft.ifft3_half_df64(spm)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype"))

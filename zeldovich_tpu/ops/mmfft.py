@@ -172,6 +172,84 @@ def cfft_last(re, im, sign: int, precision=lax.Precision.HIGHEST):
     return er, ei
 
 
+# -- two-float (df64) transforms: f32 pairs + int8 matmuls, no f64 ---------
+# Each real component is an (hi, lo) f32 pair; matmuls go through
+# ozaki.omatmul_pair and elementwise combines through error-free two-sums.
+# This is the --dtype df64 transform path: ~2^-40-grade accuracy at f32
+# speeds (the f64 ozaki form above pays ~60 emulated-f64 elementwise ops
+# per element, which dominates on TPU).
+
+
+def _padd(x, y):
+    return ozaki.pair_add(x[0], x[1], y[0], y[1])
+
+
+def _psub(x, y):
+    return ozaki.pair_add(x[0], x[1], -y[0], -y[1])
+
+
+def _cmatmul_df64(arp, aip, sliced):
+    """Karatsuba complex matmul on f32 pairs (3 pair-ozaki matmuls)."""
+    s_rpi, s_i, s_r = sliced
+    k1 = ozaki.omatmul_pair(arp, s_rpi)
+    k2 = ozaki.omatmul_pair(_padd(aip, arp), s_i)
+    k3 = ozaki.omatmul_pair(_psub(aip, arp), s_r)
+    return _psub(k1, k2), _padd(k1, k3)
+
+
+def _cfft_last_df64(rep, imp, sign: int):
+    """Dense pair DFT along the last axis (n <= DENSE_MAX or prime)."""
+    n = rep[0].shape[-1]
+    return _cmatmul_df64(rep, imp, _dft_sliced(n, sign))
+
+
+def _cfft_axis_df64(rep, imp, axis: int, sign: int):
+    rep = tuple(jnp.moveaxis(c, axis, -1) for c in rep)
+    imp = tuple(jnp.moveaxis(c, axis, -1) for c in imp)
+    rep, imp = _cfft_last_df64(rep, imp, sign)
+    back = lambda p: tuple(jnp.moveaxis(c, -1, axis) for c in p)
+    return back(rep), back(imp)
+
+
+def ifft3_half_df64(spm):
+    """Two-float inverse half-spectrum transform (the --dtype df64 path).
+
+    spm: (narray, 2, 2, h+1, Z, X) float32 (exact synthesis values; the
+    low components start at zero).  Returns (narray, 2, Y, Z, X) float64
+    assembled from the final (hi, lo) pairs -- the only f64 ops are the
+    output conversion.  Dense-path sizes only (ppd <= 2 * DENSE_MAX).
+    """
+    z = jnp.zeros_like(spm[..., 0, :, :, :])
+    rep = (spm[..., 0, :, :, :], z)  # (narray, 2pm, h+1, Z, X) pairs
+    imp = (spm[..., 1, :, :, :], z)
+    for ax in (-2, -1):
+        rep, imp = _cfft_axis_df64(rep, imp, ax, +1)
+
+    n = rep[0].shape[-2]
+    CT_s, ST_s = _c2r_sliced(n)
+
+    def pm(p, k):  # select +/- packing k of a pair
+        return (p[0][..., k, :, :, :], p[1][..., k, :, :, :])
+
+    spr, smr = pm(rep, 0), pm(rep, 1)
+    spi, smi = pm(imp, 0), pm(imp, 1)
+    twoDr, twoDi = _padd(spr, smr), _padd(spi, smi)
+    twoFr, twoFi = _psub(spi, smi), _psub(smr, spr)
+
+    def mm(M_sliced, a):
+        moved = tuple(jnp.moveaxis(c, -3, -1) for c in a)
+        out = ozaki.omatmul_pair(moved, M_sliced)
+        return tuple(jnp.moveaxis(c, -1, -3) for c in out)
+
+    out_re = _padd(mm(CT_s, twoDr), mm(ST_s, twoDi))
+    out_im = _padd(mm(CT_s, twoFr), mm(ST_s, twoFi))
+
+    def to64(p):
+        return p[0].astype(jnp.float64) + p[1].astype(jnp.float64)
+
+    return jnp.stack([to64(out_re), to64(out_im)], axis=-4)
+
+
 def cfft_axis(re, im, axis: int, sign: int, precision=lax.Precision.HIGHEST):
     """Complex DFT along ``axis`` (moveaxis wrapper over cfft_last)."""
     re = jnp.moveaxis(re, axis, -1)

@@ -99,6 +99,97 @@ def omatmul(X, W_sliced, nlimb: int = NLIMB, cutoff: int | None = None):
     return out * (sx * sw)
 
 
+# -- f32-pair (two-float) form: no f64 anywhere -----------------------------
+# The f64 form above costs ~60 emulated-f64 elementwise ops per element in
+# slicing + recombination -- on TPU that dwarfs the int8 matmuls themselves.
+# The pair form keeps data as (hi, lo) f32 throughout: slicing is exact f32
+# arithmetic, limb products group-reduce in int32 (exact), and the groups
+# recombine through an error-free two-sum cascade.  ~2^-40-grade results
+# from pure f32 + int8 ops.
+
+
+def two_sum(a, b):
+    """Error-free f32 addition: s + e == a + b exactly (Knuth, 6 flops)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def pair_add(xh, xl, yh, yl):
+    """(xh+xl) + (yh+yl) as a normalized f32 pair (sloppy Dekker add)."""
+    s, e = two_sum(xh, yh)
+    e = e + (xl + yl)
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def pair_scale(xh, xl, c: float):
+    """Multiply a pair by an exactly-representable constant (power of two)."""
+    return xh * np.float32(c), xl * np.float32(c)
+
+
+def _slice_pair_dynamic(hi, lo, nlimb: int):
+    """(hi, lo) f32 pair -> power-of-two scale + int8 limbs, all-f32 math.
+
+    The first min(4, nlimb) limbs consume hi's 24-bit mantissa; lo then
+    joins the residual (one rounded add at ~2^-48) and feeds the rest.
+    ``r - round(r)`` and the base-64 shifts are exact in f32.
+    """
+    F = jnp.float32
+    m = jnp.max(jnp.abs(hi))
+    scale = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, F(1e-30)))))
+    scale = jnp.where(m == 0.0, F(1.0), scale)
+    r = hi / scale
+    limbs = []
+    for i in range(nlimb):
+        if i == 4:
+            r = r + lo / scale
+        r = r * F(BASE)
+        q = jnp.round(r)
+        limbs.append(q.astype(jnp.int8))
+        r = r - q
+    return scale, limbs
+
+
+def _int32_to_f32_pair(g):
+    """Exact f32 pair from an int32 (|g| can exceed 2^24)."""
+    g1 = (g >> 12) << 12  # top bits: |g1| < 2^31, g1/2^12 < 2^19 exact
+    g2 = g - g1  # |g2| < 2^12: exact
+    return g1.astype(jnp.float32), g2.astype(jnp.float32)
+
+
+def omatmul_pair(x_pair, W_sliced, nlimb: int = NLIMB, cutoff: int | None = None):
+    """f32-pair X @ W via int8 MXU matmuls; returns an (hi, lo) f32 pair.
+
+    x_pair: (hi, lo) f32 arrays (..., k); W_sliced from slice_static.
+    Limb products with equal cross-order d = i + j are reduced in int32
+    (exact: k * 64^2 * (d+1) < 2^31 through k = 16k), then the per-order
+    terms -- strictly ~64x decreasing -- accumulate through two-sum.
+    """
+    if cutoff is None:
+        cutoff = nlimb - 1
+    sw, wl = W_sliced
+    xh, xl = x_pair
+    sx, xq = _slice_pair_dynamic(xh, xl, nlimb)
+    groups = {}
+    for i in range(min(nlimb, cutoff + 1)):
+        for j in range(min(len(wl), cutoff + 1 - i)):
+            p = jnp.matmul(xq[i], wl[j], preferred_element_type=jnp.int32)
+            d = i + j
+            groups[d] = p if d not in groups else groups[d] + p
+    hi = jnp.float32(0.0)
+    lo = jnp.float32(0.0)
+    for d in sorted(groups, reverse=True):  # smallest terms first
+        c = np.float32(2.0 ** (-BASE_BITS * (d + 2)))
+        g1, g2 = _int32_to_f32_pair(groups[d])
+        hi, lo = pair_add(hi, lo, g1 * c, g2 * c)
+    # power-of-two product: exact scaling of both components
+    s = sx * np.float32(sw)
+    return hi * s, lo * s
+
+
 def use_ozaki(dtype) -> bool:
     """Whether f64 matmuls should route through the int8 scheme here.
 
