@@ -116,13 +116,26 @@ def two_sum(a, b):
     return s, e
 
 
+def fast_two_sum(a, b):
+    """Error-free addition assuming |a| >= |b| (Dekker, 3 flops)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
 def pair_add(xh, xl, yh, yl):
-    """(xh+xl) + (yh+yl) as a normalized f32 pair (sloppy Dekker add)."""
-    s, e = two_sum(xh, yh)
-    e = e + (xl + yl)
-    hi = s + e
-    lo = e - (hi - s)
-    return hi, lo
+    """Accurate double-f32 addition (Hida et al.), error O(eps^2).
+
+    Requires NORMALIZED inputs (|lo| <~ ulp(hi)); normalize unnormalized
+    term pairs with two_sum first (exact for any magnitudes).
+    """
+    sh, se = two_sum(xh, yh)
+    te, tf = two_sum(xl, yl)
+    se = se + te
+    sh, se = fast_two_sum(sh, se)
+    se = se + tf
+    sh, se = fast_two_sum(sh, se)
+    return sh, se
 
 
 def pair_scale(xh, xl, c: float):
@@ -145,7 +158,8 @@ def _slice_pair_dynamic(hi, lo, nlimb: int):
     limbs = []
     for i in range(nlimb):
         if i == 4:
-            r = r + lo / scale
+            # r runs in the 64^i-scaled frame: inject lo at matching scale
+            r = r + (lo / scale) * F(float(BASE) ** 4)
         r = r * F(BASE)
         q = jnp.round(r)
         limbs.append(q.astype(jnp.int8))
@@ -184,7 +198,8 @@ def omatmul_pair(x_pair, W_sliced, nlimb: int = NLIMB, cutoff: int | None = None
     for d in sorted(groups, reverse=True):  # smallest terms first
         c = np.float32(2.0 ** (-BASE_BITS * (d + 2)))
         g1, g2 = _int32_to_f32_pair(groups[d])
-        hi, lo = pair_add(hi, lo, g1 * c, g2 * c)
+        th, tl = two_sum(g1 * c, g2 * c)  # normalize the term pair (exact)
+        hi, lo = pair_add(hi, lo, th, tl)
     # power-of-two product: exact scaling of both components
     s = sx * np.float32(sw)
     return hi * s, lo * s
