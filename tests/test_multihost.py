@@ -166,6 +166,39 @@ def test_distributed_pair_matches_single(tmp_path):
         np.testing.assert_allclose(ra["vel"], rb["vel"], atol=1e-12)
 
 
+def test_distributed_outofcore_matches_single(tmp_path):
+    """Multi-host out-of-core: per-process x-sharded host staging shards.
+
+    4 real processes x 2 virtual devices; each host stages 1/4 of the
+    transpose fabric and pwrites the output slabs it owns.  The ic_* byte
+    image must equal the plain single-process run.
+    """
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir)).run()
+    ref = _files_bytes(ref_dir)
+    assert ref
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    port = _free_port()
+    # --slab-mb 0 floors at the minimum (multiple-of-ndev) thickness: the
+    # 16^3 grid streams in 2 slabs of 8 through 8 global devices
+    procs = [
+        _spawn_cli(par, 4, i, port, extra=("--out-of-core", "--slab-mb", "0"))
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+    err0 = outs[0][1]
+    assert "rms density variation" in err0
+
+
 def test_parallel_writer_matches_append(tmp_path):
     """pwrite-at-offset mode == serial append mode, incl. CPD < PPD files."""
     ppd = 16

@@ -138,6 +138,28 @@ def test_sharded_outofcore_plt(tmp_path):
     compare_outputs(p1, p2)
 
 
+def test_sharded_outofcore_f_NL(tmp_path):
+    """f_NL phi round trip through the mesh + host staging fabric."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from zeldovich_tpu.parallel.mesh import make_mesh
+
+    fnl_kw = dict(ZD_f_NL=25.0, ZD_n_s=0.96, Omega_M=0.3)
+    p1 = make_params(tmp_path / "a", **fnl_kw)
+    Zeldovich(p1).run()
+    for pair in (False, True):
+        sub = tmp_path / f"pair{pair}"
+        p2 = make_params(sub, **fnl_kw)
+        mesh = make_mesh(mesh_shape=(4, 2))
+        m = OutOfCoreZeldovich(p2, slab_bytes=1 << 16, pair=pair, mesh=mesh)
+        assert m.slab < p2.ppd  # several slabs
+        m.run()
+        compare_outputs(p1, p2)
+
+
 def test_one_compile_per_shape(tmp_path):
     """y0 is a traced scalar: streaming N slabs compiles the kernel once.
 

@@ -102,6 +102,31 @@ def test_omatmul_pair_matches_f64():
         np.testing.assert_allclose(got, want, atol=3e-10 * scale, rtol=0)
 
 
+def test_chunked_matches_unchunked(monkeypatch):
+    """Row-chunked streaming (the 512^3 HBM guard) is numerically inert."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(9, 37, 64))
+    W = rng.normal(size=(64, 48))
+    ws = ozaki.slice_static(W)
+    Xh = X.astype(np.float32)
+    Xl = (X - Xh.astype(np.float64)).astype(np.float32)
+    pair = (jnp.asarray(Xh), jnp.asarray(Xl))
+    plain = ozaki.omatmul(jnp.asarray(X), ws)
+    plain_p = ozaki.omatmul_pair(pair, ws)
+    monkeypatch.setattr(ozaki, "CHUNK_ELEMS", 2048)  # force chunking
+    chunked = ozaki.omatmul(jnp.asarray(X), ws)
+    chunked_p = ozaki.omatmul_pair(pair, ws)
+    # per-chunk dynamic scales shift which mantissa bits the limbs keep, so
+    # results differ only at the dropped-tail level (~2^-36 of the scale)
+    want = X @ W
+    tol = 1e-9 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(plain), atol=tol, rtol=0)
+    got_p = np.asarray(chunked_p[0], np.float64) + np.asarray(chunked_p[1], np.float64)
+    ref_p = np.asarray(plain_p[0], np.float64) + np.asarray(plain_p[1], np.float64)
+    np.testing.assert_allclose(got_p, ref_p, atol=tol, rtol=0)
+    np.testing.assert_allclose(got_p, want, atol=tol, rtol=0)
+
+
 def test_ifft3_half_df64_matches_f64():
     """Pair transform of a half-spectrum == the f64 transform."""
     rng = np.random.default_rng(6)

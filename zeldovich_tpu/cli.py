@@ -87,10 +87,9 @@ def main(argv=None):
     jax.config.update("jax_enable_x64", True)  # u64 RNG limbs
 
     if args.distributed:
-        if args.part or args.out_of_core:
+        if args.part:
             print(
-                "--distributed does not combine with --part/--out-of-core "
-                "yet",
+                "--distributed does not combine with --part yet",
                 file=sys.stderr,
             )
             return 1
@@ -163,7 +162,10 @@ def main(argv=None):
     try:
         with timers.phase("Model setup (P(k), RNG tables, eigenmodes)"):
             if args.out_of_core:
-                from .models.outofcore import OutOfCoreZeldovich
+                from .models.outofcore import (
+                    DistributedOutOfCore,
+                    OutOfCoreZeldovich,
+                )
 
                 ooc_mesh = None
                 if args.sharded:
@@ -174,7 +176,12 @@ def main(argv=None):
                         f"Sharded out-of-core over mesh {dict(ooc_mesh.shape)}",
                         file=sys.stderr,
                     )
-                model = OutOfCoreZeldovich(
+                cls = (
+                    DistributedOutOfCore
+                    if args.distributed and jax.process_count() > 1
+                    else OutOfCoreZeldovich
+                )
+                model = cls(
                     param,
                     dtype=dtype,
                     slab_bytes=args.slab_mb << 20,
@@ -202,14 +209,16 @@ def main(argv=None):
                     )
                     ckpt_mm.unlink()
                 else:
-                    model.run(setup_dir=False)
-            timers.report()
-            elapsed = time.perf_counter() - t_total
-            print(
-                f"zeldovich took {elapsed:.4g} sec for ppd {param.ppd} ==> "
-                f"{param.np / 1e6 / elapsed:.3g} Mpart/sec",
-                file=sys.stderr,
-            )
+                    # distributed: process 0 sets up the dir inside run()
+                    model.run(setup_dir=args.distributed)
+            if not args.distributed or jax.process_index() == 0:
+                timers.report()
+                elapsed = time.perf_counter() - t_total
+                print(
+                    f"zeldovich took {elapsed:.4g} sec for ppd {param.ppd} "
+                    f"==> {param.np / 1e6 / elapsed:.3g} Mpart/sec",
+                    file=sys.stderr,
+                )
             return 0
 
         mesh = None

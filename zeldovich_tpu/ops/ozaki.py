@@ -79,15 +79,61 @@ def _slice_dynamic(X, nlimb: int):
     return scale, limbs
 
 
+#: target int32 elements per limb-product chunk.  The limb products are
+#: the memory hot spot (nlimb+ int32 temps the size of the output live at
+#: once); batches whose per-product size exceeds this stream through
+#: lax.map in row chunks instead -- at 512^3 the unchunked df64 transform
+#: holds ~15 GB of int32 partials and OOMs a 16 GB chip.
+CHUNK_ELEMS = int(os.environ.get("ZT_OZAKI_CHUNK_ELEMS", str(1 << 26)))
+
+
+def _chunked_rows(core, args, n_out: int):
+    """Run ``core`` over row chunks of (..., k) pytree ``args`` via lax.map.
+
+    Bounds live memory to ~CHUNK_ELEMS int32 per limb-product group while
+    keeping each chunk MXU-sized.  Returns outputs with leading dims
+    restored; ``core`` must be elementwise in the rows (true for a matmul's
+    batch side).  Falls through to one direct call for small batches.
+    """
+    leaves = jax.tree.leaves(args)
+    lead, k = leaves[0].shape[:-1], leaves[0].shape[-1]
+    B = 1
+    for d in lead:
+        B *= int(d)
+    rows = max(CHUNK_ELEMS // max(n_out, 1), 1)
+    if B <= 2 * rows:
+        return core(args)
+    nch = -(-B // rows)
+    pad = nch * rows - B
+
+    def prep(a):
+        f = a.reshape(B, k)
+        if pad:
+            f = jnp.concatenate([f, jnp.zeros((pad, k), f.dtype)])
+        return f.reshape(nch, rows, k)
+
+    out = jax.lax.map(core, jax.tree.map(prep, args))
+    return jax.tree.map(
+        lambda o: o.reshape(nch * rows, n_out)[:B].reshape(*lead, n_out), out
+    )
+
+
 def omatmul(X, W_sliced, nlimb: int = NLIMB, cutoff: int | None = None):
     """X @ W with f64-grade accuracy via int8 MXU matmuls.
 
     X: (..., k) float64; W_sliced: (scale, limbs) from slice_static with
     limbs of shape (k, n).  Keeps cross terms i + j <= cutoff
-    (default nlimb - 1).
+    (default nlimb - 1).  Large batches stream through row chunks.
     """
     if cutoff is None:
         cutoff = nlimb - 1
+    n_out = W_sliced[1][0].shape[-1]
+    return _chunked_rows(
+        lambda x: _omatmul_core(x, W_sliced, nlimb, cutoff), X, n_out
+    )
+
+
+def _omatmul_core(X, W_sliced, nlimb, cutoff):
     sw, wl = W_sliced
     sx, xl = _slice_dynamic(X, nlimb)
     out = None
@@ -181,9 +227,17 @@ def omatmul_pair(x_pair, W_sliced, nlimb: int = NLIMB, cutoff: int | None = None
     Limb products with equal cross-order d = i + j are reduced in int32
     (exact: k * 64^2 * (d+1) < 2^31 through k = 16k), then the per-order
     terms -- strictly ~64x decreasing -- accumulate through two-sum.
+    Large batches stream through row chunks (see _chunked_rows).
     """
     if cutoff is None:
         cutoff = nlimb - 1
+    n_out = W_sliced[1][0].shape[-1]
+    return _chunked_rows(
+        lambda p: _omatmul_pair_core(p, W_sliced, nlimb, cutoff), x_pair, n_out
+    )
+
+
+def _omatmul_pair_core(x_pair, W_sliced, nlimb, cutoff):
     sw, wl = W_sliced
     xh, xl = x_pair
     sx, xq = _slice_pair_dynamic(xh, xl, nlimb)
