@@ -115,3 +115,41 @@ def test_c2r_y_pair_matches_dense():
     np.testing.assert_allclose(
         got[0] + 1j * got[1], want, atol=1e-10 * np.abs(want).max()
     )
+
+
+def test_c2r_assembled_matches_dense():
+    """The four-step-capable assembled c2r (the > DENSE_MAX y path) ==
+    the dense [n, h+1] matmul form, and both match numpy ground truth."""
+    import jax
+
+    from zeldovich_tpu.ops import mmfft
+
+    rng = np.random.default_rng(11)
+    n, h = 32, 16
+    D = rng.normal(size=(2, n, n, n))
+    F = rng.normal(size=(2, n, n, n))
+    Dk = np.fft.fft(D, axis=-3)
+    Fk = np.fft.fft(F, axis=-3)
+    sp = (Dk + 1j * Fk)[..., : h + 1, :, :]
+    sm = (Dk - 1j * Fk)[..., : h + 1, :, :]
+    spm = np.stack(
+        [
+            np.stack([sp.real, sp.imag], axis=-4),
+            np.stack([sm.real, sm.imag], axis=-4),
+        ],
+        axis=-5,
+    )
+    dense = np.asarray(mmfft.c2r_y_pair(jnp.asarray(spm)))
+    asm = np.asarray(
+        mmfft._c2r_y_pair_assembled(jnp.asarray(spm), jax.lax.Precision.HIGHEST)
+    )
+    want = np.stack(
+        [
+            np.fft.ifft(Dk, axis=-3).real * n,
+            np.fft.ifft(Fk, axis=-3).real * n,
+        ],
+        axis=-4,
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(asm, dense, atol=1e-12 * scale, rtol=0)
+    np.testing.assert_allclose(asm, want, atol=1e-12 * scale, rtol=0)

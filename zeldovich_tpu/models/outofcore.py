@@ -220,14 +220,6 @@ class DistributedOutOfCore:
         spec = [None] * (ndim - 1) + [("z", "y")]
         return NamedSharding(self.mesh, P(*spec))
 
-    def _zout(self, ndim):
-        """Output layout: z-planes split over every device."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        spec = [None] * ndim
-        spec[-2] = ("z", "y")
-        return NamedSharding(self.mesh, P(*spec))
-
     def stage_layout(self):
         p = self.param
         shape, dtype = self.inner.stage_layout()
@@ -253,21 +245,14 @@ class DistributedOutOfCore:
         if stage is None:
             stage = self._alloc_stage()
         head = (slice(None), slice(None)) if self.pair else (slice(None),)
-        reshard = {}
 
         def items():
+            # pass-1 results land already x-split (the staging layout)
             for y0 in range(0, p.ppd, self.slab):
-                out = synth_ifft_zx_sharded(
+                yield y0, synth_ifft_zx_sharded(
                     y0, self.slab, inner.cfg, inner.tables, inner.dtype,
                     self.mesh, self.pair,
                 )
-                f = reshard.get(out.ndim)
-                if f is None:
-                    f = jax.jit(
-                        lambda a: a, out_shardings=self._xshard(out.ndim)
-                    )
-                    reshard[out.ndim] = f
-                yield y0, f(out)
 
         prev = None
         for y0, arr in items():
@@ -307,10 +292,6 @@ class DistributedOutOfCore:
         nd = len(self._global_yslab_shape(self.slab))
         gshape = (*self._global_yslab_shape(p.ppd)[:-3], p.ppd, self.slab, p.ppd)
         xsh = self._xshard(nd)
-        to_zout = jax.jit(
-            lambda b: ifft_y_sharded(b, self.mesh, self.pair),
-            out_shardings=self._zout(nd),
-        )
 
         def items():
             for z0 in range(0, p.ppd, self.slab):
@@ -318,7 +299,9 @@ class DistributedOutOfCore:
                     stage[(*head, slice(None), slice(z0, z0 + self.slab))]
                 )
                 garr = jax.make_array_from_process_local_data(xsh, loc, gshape)
-                yield z0, to_zout(garr)
+                # y transform local; one all_to_all to whole-z-plane layout
+                yield z0, ifft_y_sharded(garr, self.mesh, self.pair,
+                                         zplanes=True)
 
         try:
             prev = None

@@ -303,6 +303,26 @@ def _c2r_sliced(n: int):
     return ozaki.slice_static(C.T.copy()), ozaki.slice_static(S.T.copy())
 
 
+def _c2r_y_pair_assembled(spm, precision):
+    """Four-step-capable c2r: assemble the full y-spectrum, one cfft.
+
+    The dense [n, h+1] c2r matmul costs 2 n^2 real MACs per skewer; above
+    DENSE_MAX the assembled form wins: the packed complex field D + iF has
+    full y-spectrum rows k <= h equal to sp and rows k > h equal to
+    conj(sm[n-k]) (D, F real), so one length-n complex transform -- which
+    four-steps to ~3 n (n1+n2) MACs -- inverts BOTH fields.  The z/x
+    half-spectrum savings are unaffected.
+    """
+    spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
+    smr, smi = spm[..., 1, 0, :, :, :], spm[..., 1, 1, :, :, :]
+    mid_r = smr[..., 1:-1, :, :][..., ::-1, :, :]
+    mid_i = -smi[..., 1:-1, :, :][..., ::-1, :, :]
+    re = jnp.concatenate([spr, mid_r], axis=-3)
+    im = jnp.concatenate([spi, mid_i], axis=-3)
+    re, im = cfft_axis(re, im, -3, +1, precision)
+    return jnp.stack([re, im], axis=-4)
+
+
 def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
     """Half-spectrum inverse transform along the ky axis (unnormalized +1).
 
@@ -321,6 +341,8 @@ def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
     """
     dtype = spm.dtype
     n = spm.shape[-2]  # Z extent == full grid size
+    if n > DENSE_MAX:
+        return _c2r_y_pair_assembled(spm, precision)
 
     spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
     smr, smi = spm[..., 1, 0, :, :, :], spm[..., 1, 1, :, :, :]

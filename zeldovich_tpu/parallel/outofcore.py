@@ -3,94 +3,142 @@
 Grids beyond the mesh's total HBM (the reference's ``-DDISK`` at
 NumBlock > 2, holding 2/NB of the problem resident, README.md:98-100)
 stream through the same host staging buffer as models/outofcore.py, but
-each resident slab is itself sharded over the ("z", "y") device mesh:
+each resident slab is itself sharded over the device mesh.
 
-  pass 1: a y-slab [narray, By, Z, X] sharded (By over "y", Z over "z")
-          is synthesized in place (each device derives its global (y, z)
-          ranges from its mesh coordinates) and inverse-transformed over
-          x (local) and z (one layout-preserving all_to_all pair).
-  pass 2: a z-slab [narray, Y, Bz, X] sharded (Y over "y", Bz over "z")
-          is inverse-transformed over y the same way.
+Layout: every slab is sharded along x -- the axis the whole pipeline
+keeps contiguous (the reference's "skewer" axis, README.md:66-75) -- over
+the FLATTENED ("z", "y") mesh.  Mode synthesis is a pure function of the
+global index, so each device synthesizes its own x-columns of the full
+(y-range x Z) box directly:
+
+  pass 1: device (iz, iy) synthesizes [narray, ny, Z, Xp] at its global
+          x-offset; the z transform is LOCAL (Z fully resident), the x
+          transform borrows locality from z (one all_to_all pair over the
+          flattened mesh); the result lands x-split -- exactly the
+          per-process staging layout the multi-host fabric wants.
+  pass 2: a z-slab [narray, Y, Bz, Xp] has Y fully resident, so the y
+          transform is LOCAL; zero collectives for the single-host sink
+          (one final all_to_all to whole-z-plane layout for multi-host
+          parallel output).
+
+This costs 2 all-to-alls for pass 1 + at most 1 for pass 2 per slab, all
+transforms are local/MXU-dense, and no GSPMD resharding is ever needed
+(the naive spec -- y over "y", z over "z" -- forced XLA into involuntary
+full rematerializations when landing into the x-split staging fabric).
 
 The host buffer remains the y<->z transpose fabric; the mesh never holds
-more than one slab.  Slab thickness must divide by both mesh axes.
+more than one slab.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops import mmfft
 from ..ops.modes import synthesize
 from ..ops.modes_real import synthesize_pair
-from .pencil_fft import _fft, _ifft_scaled, _transform_axis_sharded
-from .pencil_mmfft import _cfft_last_pair, _transform_axis_pair
 
 _CACHE: dict = {}
 
+_AX = ("z", "y")  # flattened mesh: device (iz, iy) -> slot iz*py + iy
 
-def _check_slab(ppd, ny, mesh: Mesh):
-    py, pz = mesh.shape["y"], mesh.shape["z"]
-    if ny % py or ppd % pz or ppd % py or ppd % pz:
-        raise ValueError(
-            f"slab (ny={ny}, grid {ppd}) not divisible by mesh "
-            f"(y={py}, z={pz})"
-        )
+
+def _xspec(ndim: int) -> P:
+    """x split over the flattened mesh, every other axis whole."""
+    return P(*([None] * (ndim - 1)), _AX)
+
+
+def _check_grid(ppd, mesh: Mesh):
+    n = mesh.devices.size
+    if ppd % n:
+        raise ValueError(f"grid {ppd} not divisible by {n} mesh devices")
+
+
+def _flat_index():
+    py = jax.lax.axis_size("y")
+    return jax.lax.axis_index("z") * py + jax.lax.axis_index("y")
+
+
+def _transform_x_pair(b, sign):
+    """Pair transform along local-split x, borrowing locality from z.
+
+    b: [2, A, ny, Z, Xp].  all_to_all gathers full x (paying with a z
+    split over the flattened mesh), transforms locally, transposes back.
+    """
+    full = jax.lax.all_to_all(b, _AX, split_axis=b.ndim - 2,
+                              concat_axis=b.ndim - 1, tiled=True)
+    full = _cfft_last_pair(full, sign)
+    return jax.lax.all_to_all(full, _AX, split_axis=b.ndim - 1,
+                              concat_axis=b.ndim - 2, tiled=True)
+
+
+def _cfft_last_pair(block, sign):
+    re, im = mmfft.cfft_last(block[0], block[1], sign)
+    return jnp.stack([re, im])
+
+
+def _transform_x_complex(k, scaled):
+    full = jax.lax.all_to_all(k, _AX, split_axis=k.ndim - 2,
+                              concat_axis=k.ndim - 1, tiled=True)
+    full = jnp.fft.ifft(full, axis=-1) * (full.shape[-1] if scaled else 1)
+    return jax.lax.all_to_all(full, _AX, split_axis=k.ndim - 1,
+                              concat_axis=k.ndim - 2, tiled=True)
 
 
 def synth_ifft_zx_sharded(
     y0, ny, cfg, tables, dtype, mesh: Mesh, pair: bool,
     gen_phi: bool = False, phi_pair=None,
 ):
-    """Pass-1 slab: sharded synthesis + inverse FFT over z and x.
+    """Pass-1 slab: x-split synthesis + inverse FFT over z (local) and x.
 
     Returns [narray, ny, Z, X] (pair: [narray, 2, ny, Z, X]) sharded
-    (ny over "y", Z over "z").  ``y0`` is traced: one compile per shape.
+    x-split over the flattened mesh -- the staging-fabric layout.  ``y0``
+    is traced: one compile per shape.
 
     ``phi_pair`` (the f_NL input pass) carries (same, reflected) phi(k)
     blocks elementwise-aligned with the slab's output indices -- host-
-    precomputed reflections, so each device reads only its own rows:
-    shape [ny, Z, X] per leaf, sharded (ny over "y", Z over "z").
+    precomputed reflections, so each device reads only its own columns:
+    shape [ny, Z, X] per leaf, sharded x-split.
     """
     ppd = cfg.ppd
-    _check_slab(ppd, ny, mesh)
+    _check_grid(ppd, mesh)
     key = ("synth", cfg, ny, dtype, mesh, pair, gen_phi, phi_pair is not None)
     f = _CACHE.get(key)
     if f is None:
-        py, pz = mesh.shape["y"], mesh.shape["z"]
-        yl, zl = ny // py, ppd // pz
+        nd = mesh.devices.size
+        xp = ppd // nd
 
         def kernel(tables, y0, phi_blocks):
-            iy = jax.lax.axis_index("y")
-            iz = jax.lax.axis_index("z")
-            y = (y0 + iy * yl + jnp.arange(yl))[:, None, None]
-            z = (iz * zl + jnp.arange(zl))[None, :, None]
-            x = jnp.arange(ppd)[None, None, :]
+            ix = _flat_index()
+            y = (y0 + jnp.arange(ny))[:, None, None]
+            z = jnp.arange(ppd)[None, :, None]
+            x = (ix * xp + jnp.arange(xp))[None, None, :]
             if pair:
                 k = synthesize_pair(
                     y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi,
                     phi_pair=phi_blocks,
                 )
-                b = jnp.swapaxes(k, 0, 1)  # (2, narray, yl, zl, X)
-                b = _cfft_last_pair(b, +1)  # x local
-                b = _transform_axis_pair(b, "z", -2, +1)
+                b = jnp.swapaxes(k, 0, 1)  # (2, narray, ny, Z, Xp)
+                b = jnp.moveaxis(
+                    _cfft_last_pair(jnp.moveaxis(b, -2, -1), +1), -1, -2
+                )  # z local
+                b = _transform_x_pair(b, +1)
                 return jnp.swapaxes(b, 0, 1)
             k = synthesize(
                 y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi,
                 phi_k=phi_blocks,
             )
-            k = jnp.fft.ifft(k, axis=-1) * ppd  # x local
-            return _transform_axis_sharded(k, "z", -2, _ifft_scaled)
+            k = jnp.fft.ifft(k, axis=-2) * ppd  # z local
+            return _transform_x_complex(k, scaled=True)
 
-        gspec = (
-            P(None, None, "y", "z", None) if pair else P(None, "y", "z", None)
-        )
+        gspec = _xspec(5 if pair else 4)
         tab_spec = jax.tree.map(lambda _: P(), tables)
         if phi_pair is None:
-            from functools import partial
-
             f = jax.jit(
                 shard_map(
                     partial(kernel, phi_blocks=None), mesh=mesh,
@@ -98,7 +146,7 @@ def synth_ifft_zx_sharded(
                 )
             )
         else:
-            phi_spec = jax.tree.map(lambda _: P("y", "z", None), phi_pair)
+            phi_spec = jax.tree.map(lambda _: _xspec(3), phi_pair)
             f = jax.jit(
                 shard_map(
                     kernel, mesh=mesh,
@@ -114,40 +162,36 @@ def synth_ifft_zx_sharded(
 def fwd_y_phi_nl_sharded(zslab, f_NL, inv_n3, mesh: Mesh, pair: bool):
     """phi z-slab: finish inverse FFT (y), apply non-linearity, forward y.
 
-    zslab [1(, 2), Y, Bz, X] sharded (Y over "y", Bz over "z"); the y
-    transforms ride one layout-preserving all_to_all pair each.
+    zslab [1(, 2), Y, Bz, X] sharded x-split: Y is fully resident per
+    device, so the whole round trip is collective-free.
     """
-    py, pz = mesh.shape["y"], mesh.shape["z"]
-    Y, Bz, X = zslab.shape[-3], zslab.shape[-2], zslab.shape[-1]
-    if Y % py or Bz % pz or X % py:
-        raise ValueError(
-            f"phi z-slab {zslab.shape[-3:]} not divisible by mesh "
-            f"(y={py}, z={pz})"
-        )
+    _check_grid(zslab.shape[-1], mesh)
     key = ("phi_y", zslab.shape, zslab.dtype, mesh, pair)
     f = _CACHE.get(key)
     if f is None:
         if pair:
 
             def kernel(b, f_NL, inv_n3):
-                b = jnp.swapaxes(b, 0, 1)  # (2, 1, Yl, Bzl, X)
-                b = _transform_axis_pair(b, "y", -3, +1)
+                b = jnp.swapaxes(b, 0, 1)  # (2, 1, Y, Bzl, Xp)
+                # sign +1 == the FFTW unnormalized inverse: no 1/N, no xN
+                b = jnp.moveaxis(
+                    _cfft_last_pair(jnp.moveaxis(b, -3, -1), +1), -1, -3
+                )
                 phi_x = (b[0] + f_NL * b[0] * b[0]) * inv_n3
                 b = jnp.stack([phi_x, jnp.zeros_like(phi_x)])
-                b = _transform_axis_pair(b, "y", -3, -1)
+                b = jnp.moveaxis(
+                    _cfft_last_pair(jnp.moveaxis(b, -3, -1), -1), -1, -3
+                )
                 return jnp.swapaxes(b, 0, 1)
 
-            gspec = P(None, None, "y", "z", None)
         else:
 
             def kernel(b, f_NL, inv_n3):
-                phi = _transform_axis_sharded(b, "y", -3, _ifft_scaled)
+                phi = jnp.fft.ifft(b, axis=-3) * b.shape[-3]
                 phi_x = (phi.real + f_NL * phi.real * phi.real) * inv_n3
-                return _transform_axis_sharded(
-                    phi_x.astype(b.dtype), "y", -3, _fft
-                )
+                return jnp.fft.fft(phi_x.astype(b.dtype), axis=-3)
 
-            gspec = P(None, "y", "z", None)
+        gspec = _xspec(zslab.ndim)
         f = jax.jit(
             shard_map(
                 kernel, mesh=mesh, in_specs=(gspec, P(), P()),
@@ -159,14 +203,8 @@ def fwd_y_phi_nl_sharded(zslab, f_NL, inv_n3, mesh: Mesh, pair: bool):
 
 
 def fwd_zx_sharded(yslab, mesh: Mesh, pair: bool):
-    """Forward FFT over z and x of a phi y-slab [1(, 2), By, Z, X]."""
-    py, pz = mesh.shape["y"], mesh.shape["z"]
-    By, Z, X = yslab.shape[-3], yslab.shape[-2], yslab.shape[-1]
-    if By % py or Z % pz or X % pz:
-        raise ValueError(
-            f"phi y-slab {yslab.shape[-3:]} not divisible by mesh "
-            f"(y={py}, z={pz})"
-        )
+    """Forward FFT over z (local) and x of a phi y-slab [1(, 2), By, Z, X]."""
+    _check_grid(yslab.shape[-1], mesh)
     key = ("phi_zx", yslab.shape, yslab.dtype, mesh, pair)
     f = _CACHE.get(key)
     if f is None:
@@ -174,18 +212,27 @@ def fwd_zx_sharded(yslab, mesh: Mesh, pair: bool):
 
             def kernel(b):
                 b = jnp.swapaxes(b, 0, 1)
-                b = _cfft_last_pair(b, -1)  # x local
-                b = _transform_axis_pair(b, "z", -2, -1)
+                b = jnp.moveaxis(
+                    _cfft_last_pair(jnp.moveaxis(b, -2, -1), -1), -1, -2
+                )  # z local
+                b = _transform_x_pair(b, -1)
                 return jnp.swapaxes(b, 0, 1)
 
-            gspec = P(None, None, "y", "z", None)
         else:
 
             def kernel(b):
-                b = jnp.fft.fft(b, axis=-1)  # x local
-                return _transform_axis_sharded(b, "z", -2, _fft)
+                b = jnp.fft.fft(b, axis=-2)  # z local
+                full = jax.lax.all_to_all(
+                    b, _AX, split_axis=b.ndim - 2, concat_axis=b.ndim - 1,
+                    tiled=True,
+                )
+                full = jnp.fft.fft(full, axis=-1)
+                return jax.lax.all_to_all(
+                    full, _AX, split_axis=b.ndim - 1,
+                    concat_axis=b.ndim - 2, tiled=True,
+                )
 
-            gspec = P(None, "y", "z", None)
+        gspec = _xspec(yslab.ndim)
         f = jax.jit(
             shard_map(kernel, mesh=mesh, in_specs=(gspec,), out_specs=gspec)
         )
@@ -193,33 +240,57 @@ def fwd_zx_sharded(yslab, mesh: Mesh, pair: bool):
     return f(yslab)
 
 
-def ifft_y_sharded(zslab, mesh: Mesh, pair: bool):
-    """Pass-2 slab: inverse FFT over y of [narray(, 2), Y, Bz, X]."""
-    py, pz = mesh.shape["y"], mesh.shape["z"]
-    Y, Bz, X = zslab.shape[-3], zslab.shape[-2], zslab.shape[-1]
-    if Y % py or Bz % pz or X % py:
+def ifft_y_sharded(zslab, mesh: Mesh, pair: bool, zplanes: bool = False):
+    """Pass-2 slab: inverse FFT over y of [narray(, 2), Y, Bz, X].
+
+    Input is x-split, Y fully resident: the transform is local.  With
+    ``zplanes`` the result is resharded (one all_to_all) so each device
+    holds whole z-planes -- the multi-host parallel-output layout; the
+    single-host sink materializes the x-split result directly.
+    """
+    _check_grid(zslab.shape[-1], mesh)
+    if zplanes and zslab.shape[-2] % mesh.devices.size:
         raise ValueError(
-            f"z-slab {zslab.shape[-3:]} not divisible by mesh (y={py}, z={pz})"
+            f"slab thickness {zslab.shape[-2]} not divisible by "
+            f"{mesh.devices.size} devices for z-plane output"
         )
-    key = ("iffty", zslab.shape, zslab.dtype, mesh, pair)
+    key = ("iffty", zslab.shape, zslab.dtype, mesh, pair, zplanes)
     f = _CACHE.get(key)
     if f is None:
         if pair:
 
             def kernel(b):
-                b = jnp.swapaxes(b, 0, 1)  # (2, narray, Y, Bzl, X)
-                b = _transform_axis_pair(b, "y", -3, +1)
+                b = jnp.swapaxes(b, 0, 1)  # (2, A, Y, Bz, Xp)
+                b = jnp.moveaxis(
+                    _cfft_last_pair(jnp.moveaxis(b, -3, -1), +1), -1, -3
+                )
+                if zplanes:
+                    b = jax.lax.all_to_all(
+                        b, _AX, split_axis=b.ndim - 2,
+                        concat_axis=b.ndim - 1, tiled=True,
+                    )
                 return jnp.swapaxes(b, 0, 1)
 
-            gspec = P(None, None, "y", "z", None)
         else:
 
             def kernel(b):
-                return _transform_axis_sharded(b, "y", -3, _ifft_scaled)
+                b = jnp.fft.ifft(b, axis=-3) * b.shape[-3]
+                if zplanes:
+                    b = jax.lax.all_to_all(
+                        b, _AX, split_axis=b.ndim - 2,
+                        concat_axis=b.ndim - 1, tiled=True,
+                    )
+                return b
 
-            gspec = P(None, "y", "z", None)
+        gspec = _xspec(zslab.ndim)
+        if zplanes:
+            spec = [None] * zslab.ndim
+            spec[-2] = _AX
+            out = P(*spec)
+        else:
+            out = gspec
         f = jax.jit(
-            shard_map(kernel, mesh=mesh, in_specs=(gspec,), out_specs=gspec)
+            shard_map(kernel, mesh=mesh, in_specs=(gspec,), out_specs=out)
         )
         _CACHE[key] = f
     return f(zslab)
