@@ -81,7 +81,11 @@ def child():
     # backend and is the TPU-native formulation (never materializes the
     # Hermitian mirror half).  The static amplitude field (pk_eff) is setup
     # work, passed by argument so it is not baked in as a constant.
-    step = model.xspace_half_pair
+    # BENCH_DTYPE=df64 measures the mixed parity mode (f32 draw chain +
+    # f64-grade int8-MXU transforms, <1e-6 displacement parity).
+    step = (
+        model.xspace_half_df64 if dtype_name == "df64" else model.xspace_half_pair
+    )
 
     import numpy as np
 

@@ -160,6 +160,30 @@ def test_sharded_outofcore_f_NL(tmp_path):
         compare_outputs(p1, p2)
 
 
+def test_df64_outofcore_parity(tmp_path):
+    """Streamed df64 (mixed parity) run < 1e-6 displacement error vs f64.
+
+    The in-core df64 mode tops out where the pair intermediates exceed
+    HBM; this is the same numerics streamed through host staging slabs.
+    """
+    import jax.numpy as jnp
+
+    ppd = 16
+    p1 = make_params(tmp_path / "a", ppd=ppd)
+    Zeldovich(p1, dtype=jnp.float64).run()
+    p2 = make_params(tmp_path / "b", ppd=ppd)
+    m = OutOfCoreZeldovich(p2, dtype="df64", slab_bytes=1 << 15)
+    assert m.mixed and m.pair and m.slab < ppd
+    m.run()
+    for fa in sorted(p1.output_path.glob("ic_*")):
+        ra = read_particles(fa, p1.ICFormat)
+        rb = read_particles(p2.output_path / fa.name, p2.ICFormat)
+        np.testing.assert_array_equal(ra["i"], rb["i"])
+        err = np.abs(ra["displ"] - rb["displ"]).max()
+        assert err < 1e-6, f"df64 ooc displacement error {err:.3e}"
+        np.testing.assert_allclose(ra["vel"], rb["vel"], atol=1e-6)
+
+
 def test_one_compile_per_shape(tmp_path):
     """y0 is a traced scalar: streaming N slabs compiles the kernel once.
 

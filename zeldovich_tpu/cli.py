@@ -122,16 +122,16 @@ def main(argv=None):
     print(f"Generating ICs for ppd = {param.ppd}", file=sys.stderr)
 
     if args.dtype == "df64" and (
-        args.sharded or args.out_of_core or args.distributed or args.part
+        args.sharded or args.distributed or (args.part and not args.out_of_core)
     ):
         print(
-            "--dtype df64 is the single-device in-core parity mode; use "
-            "float64 or float32 with --sharded/--out-of-core/--part",
+            "--dtype df64 runs in-core single-device or --out-of-core; use "
+            "float64 or float32 with --sharded/--distributed",
             file=sys.stderr,
         )
         return 1
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
-    itemsize = 16 if args.dtype == "float64" else 8
+    itemsize = 16 if args.dtype in ("float64", "df64") else 8
 
     mem_narray = param.narray + (1 if param.f_NL != 0 else 0)
     gib = (param.ppd / 1024.0) ** 3 * mem_narray * itemsize
@@ -183,7 +183,7 @@ def main(argv=None):
                 )
                 model = cls(
                     param,
-                    dtype=dtype,
+                    dtype="df64" if args.dtype == "df64" else dtype,
                     slab_bytes=args.slab_mb << 20,
                     backing=args.backing,
                     mesh=ooc_mesh,

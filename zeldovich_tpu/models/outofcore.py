@@ -111,6 +111,54 @@ def _ifft_y_pair(zslab):
     return jnp.swapaxes(jnp.stack([re, im]), 0, 1)
 
 
+# -- mixed-precision (df64) stage kernels ---------------------------------
+# The --dtype df64 parity mode at out-of-core scale: exact-primitive f32
+# synthesis + f64-grade two-float (int8-MXU) transforms, staged as float64.
+# In-core df64 tops out where the pair intermediates exceed HBM (512^3 on
+# a 16 GB chip); here only one slab of them is ever resident.
+
+
+def _pair_to_f64(rep, imp):
+    f64 = jnp.float64
+    return jnp.stack(
+        [rep[0].astype(f64) + rep[1].astype(f64),
+         imp[0].astype(f64) + imp[1].astype(f64)]
+    )
+
+
+def _f64_to_pair(p):
+    hi = p.astype(jnp.float32)
+    lo = (p - hi.astype(jnp.float64)).astype(jnp.float32)
+    return (hi[0], lo[0]), (hi[1], lo[1])
+
+
+@partial(jax.jit, static_argnames=("ny", "cfg"))
+def _synth_ifft_zx_df64(y0, ny, cfg, tables):
+    """df64 twin of _synth_ifft_zx_pair: (narray, 2, ny, Z, X) float64."""
+    ppd = cfg.ppd
+    y = (y0 + jnp.arange(ny))[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    k = synthesize_pair(
+        y, z, x, cfg, tables, dtype=jnp.float32, accurate=True
+    )
+    p = jnp.swapaxes(k, 0, 1)  # (2, narray, ny, Z, X) exact f32
+    zero = jnp.zeros_like(p[0])
+    rep, imp = (p[0], zero), (p[1], zero)
+    for ax in (-2, -1):
+        rep, imp = mmfft._cfft_axis_df64(rep, imp, ax, +1)
+    return jnp.swapaxes(_pair_to_f64(rep, imp), 0, 1)
+
+
+@jax.jit
+def _ifft_y_df64(zslab):
+    """df64 twin of _ifft_y_pair: zslab (narray, 2, Y, Bz, X) float64."""
+    p = jnp.swapaxes(zslab, 0, 1)
+    rep, imp = _f64_to_pair(p)
+    rep, imp = mmfft._cfft_axis_df64(rep, imp, -3, +1)
+    return jnp.swapaxes(_pair_to_f64(rep, imp), 0, 1)
+
+
 @jax.jit
 def _fwd_y_phi_nl(zslab, f_NL, inv_n3):
     """phi z-slab: finish inverse FFT (y), apply non-linearity, forward y."""
@@ -346,6 +394,17 @@ class OutOfCoreZeldovich(Zeldovich):
 
     def __init__(self, param, dtype=jnp.float64, slab_bytes=2 << 30,
                  backing: str = "ram", pair: bool | None = None, mesh=None):
+        # dtype="df64": the mixed parity mode at streaming scale (exact f32
+        # draw chain + f64-grade two-float transforms, float64 staging)
+        self.mixed = dtype == "df64"
+        if self.mixed:
+            dtype = jnp.float64
+            pair = True
+            if param.f_NL != 0 or param.version == 1 or mesh is not None:
+                raise NotImplementedError(
+                    "df64 out-of-core supports ZD_Version=2 without f_NL "
+                    "on a single device/process"
+                )
         super().__init__(param, dtype=dtype)
         self.backing = backing
         self.mesh = mesh
@@ -531,6 +590,10 @@ class OutOfCoreZeldovich(Zeldovich):
                         y0, self.slab, self.cfg, self.tables, self.dtype,
                         self.mesh, self.pair, phi_pair=phi_pair,
                     )
+                elif self.mixed:
+                    out = _synth_ifft_zx_df64(
+                        y0, self.slab, self.cfg, self.tables
+                    )
                 elif self.pair:
                     out = _synth_ifft_zx_pair(
                         y0, self.slab, self.cfg, self.tables, self.dtype,
@@ -570,6 +633,8 @@ class OutOfCoreZeldovich(Zeldovich):
 
                     # numpy in: jax shards the host slab at dispatch
                     yield z0, ifft_y_sharded(stage[sel], self.mesh, self.pair)
+                elif self.mixed:
+                    yield z0, _ifft_y_df64(jnp.asarray(stage[sel]))
                 elif self.pair:
                     yield z0, _ifft_y_pair(jnp.asarray(stage[sel]))
                 else:

@@ -249,6 +249,7 @@ def synthesize_pair(
     dtype=jnp.float32,
     gen_phi: bool = False,
     phi_pair=None,
+    accurate: bool = False,
 ):
     """Elementwise complex-free synthesis at output indices (shardable).
 
@@ -257,7 +258,8 @@ def synthesize_pair(
 
     phi_pair: (phi_same, phi_refl) tuples of (re, im) local blocks for the
     f_NL input pass (values at (y,z,x) and at the reflected index).
-    Returns (narray, 2, *shape).
+    ``accurate`` selects the exact-primitive f32 draw chain (the df64
+    parity mode).  Returns (narray, 2, *shape).
     """
     ppd = cfg.ppd
     half = ppd // 2
@@ -276,7 +278,8 @@ def synthesize_pair(
     # output shapes lack the vma annotation shard_map checks for) and the
     # flat kernel's XLA-side prep erases its win anyway
     D, F, G, H, f = _raw_fields_pair(
-        sy, sz, sx, cfg, tables, dtype, phi_pair_val=phi_val, allow_pallas=False
+        sy, sz, sx, cfg, tables, dtype, phi_pair_val=phi_val,
+        allow_pallas=False, accurate=accurate,
     )
 
     sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im
