@@ -236,3 +236,50 @@ def test_pencil_final_matches_dense(mesh_shape):
     np.testing.assert_allclose(
         gotp[0] + 1j * gotp[1], want, atol=1e-10 * np.abs(want).max()
     )
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {},
+        {"ZD_qdensity": 2},
+        {"ZD_k_cutoff": 2.0},
+        {"ZD_qonemode": 1, "ZD_one_mode": "(2, 1, 3)"},
+        {
+            "ZD_qPLT": 1,
+            "ZD_PLT_filename": str(ASSETS / "eigmodes128"),
+            "ZD_qPLT_rescale": 1,
+            "ZD_PLT_target_z": 5.0,
+        },
+    ],
+    ids=["plain", "density", "k_cutoff", "onemode", "plt"],
+)
+def test_sharded_half_matches_incore_half(extra):
+    """The fused 2-collective sharded half-spectrum step == in-core half."""
+    param = make_params(ppd=16, **extra)
+    model = Zeldovich(param, dtype=jnp.float32)
+    want = np.asarray(model.xspace_half_pair())
+    for mesh_shape in ((4, 2), (2, 4)):
+        got = np.asarray(
+            model.xspace_half_pair_sharded(make_mesh(mesh_shape=mesh_shape))
+        )
+        np.testing.assert_allclose(
+            got, want, atol=1e-5 * max(np.abs(want).max(), 1e-30), rtol=0
+        )
+
+
+def test_sharded_half_zplanes_layout():
+    """zplanes=True returns the same global array, z-planes per device."""
+    param = make_params(ppd=16)
+    model = Zeldovich(param, dtype=jnp.float32)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    want = np.asarray(model.xspace_half_pair_sharded(mesh))
+    got_arr = model.xspace_half_pair_sharded(mesh, zplanes=True)
+    np.testing.assert_allclose(
+        np.asarray(got_arr), want, atol=1e-6 * np.abs(want).max(), rtol=0
+    )
+    # every device holds whole z-planes: shard index splits only axis -2
+    for s in got_arr.addressable_shards:
+        idx = s.index
+        assert idx[-1] == slice(None, None, None) or idx[-1].start is None
+        assert s.data.shape[-1] == param.ppd

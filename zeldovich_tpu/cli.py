@@ -296,7 +296,11 @@ def main(argv=None):
             return 0
 
         with timers.phase("Inverse FFT"):
-            if use_pair and mesh is not None:
+            if use_pair and mesh is not None and kgrid is None:
+                # fused half-spectrum sharded step (2 all-to-alls); falls
+                # back to the full-grid pencil path for f_NL/ZD_Version=1
+                x = model.xspace_half_pair_sharded(mesh)
+            elif use_pair and mesh is not None:
                 x = model.xspace_pair_sharded(mesh, kgrid)
             elif use_pair and kgrid is None and args.dtype == "df64":
                 x = model.xspace_half_df64()  # mixed parity mode

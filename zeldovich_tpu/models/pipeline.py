@@ -294,6 +294,43 @@ class Zeldovich:
         x = ifft3_pair_sharded_final(jnp.swapaxes(kpair, 0, 1), mesh)
         return jnp.swapaxes(x, 0, 1)
 
+    @property
+    def pk_eff_half_src(self):
+        """Cached source-resolved amplitude field (pk_effective_half_src)."""
+        if getattr(self, "_pk_eff_half_src", None) is None:
+            from ..ops.modes_real import pk_effective_half_src
+
+            self._pk_eff_half_src = jax.jit(
+                pk_effective_half_src, static_argnames=("cfg", "dtype")
+            )(self.cfg, self.tables, dtype=self.dtype)
+        return self._pk_eff_half_src
+
+    def xspace_half_pair_sharded(self, mesh, zplanes: bool = False):
+        """Sharded half-spectrum forward (2 all-to-alls total).
+
+        Falls back to the full-grid pair pencil path for configurations
+        the half-spectrum form cannot represent (f_NL, ZD_Version=1);
+        the fallback ignores ``zplanes`` (its result is x-pencil-sharded).
+        """
+        if self.param.f_NL != 0 or self._D_source is not None:
+            return self.xspace_pair_sharded(mesh)
+        from ..parallel.pencil_mmfft import xspace_half_pair_sharded
+
+        pk = self.pk_eff_half_src
+        if jax.process_count() > 1:
+            # multi-controller: inputs must be global arrays (the x-split
+            # spec the kernel expects; identical host values per process)
+            import numpy as np
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pk = jax.device_put(
+                np.asarray(pk),
+                NamedSharding(mesh, P(None, None, ("z", "y"))),
+            )
+        return xspace_half_pair_sharded(
+            self.cfg, self.tables, pk, mesh, self.dtype, zplanes=zplanes
+        )
+
     # -- full run ------------------------------------------------------
     def run(self, setup_dir: bool = True) -> OutputWriter:
         from ..utils.streamio import stream_xspace

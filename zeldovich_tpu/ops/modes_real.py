@@ -401,6 +401,87 @@ def synthesize_half_pair(
     return jnp.stack([A, B, A2, B2])
 
 
+def pk_effective_half_src(cfg: SynthConfig, tables: SynthTables, dtype):
+    """Source-resolved amplitude field for the sharded half-spectrum kernel.
+
+    (half+1, Z, X) pk_effective evaluated at hermitian_source indices: the
+    ky=0 plane's in-plane mirrors read their SOURCE's zero rules (qonemode
+    is not reflection-symmetric), and the hard zeros (y-Nyquist plane,
+    origin) are folded in.  Setup work, like pk_effective.
+    """
+    ppd, half = cfg.ppd, cfg.ppd // 2
+    fdt = dtype
+    y = jnp.arange(half + 1)[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    sy, sz, sx, _, hard = hermitian_source(y, z, x, ppd)
+    ky = sy
+    kz = jnp.where(sz > half, sz - ppd, sz)
+    kx = jnp.where(sx > half, sx - ppd, sx)
+    n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
+    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+    zero = (
+        (jnp.abs(kx) == cfg.kmax_int)
+        | (jnp.abs(ky) == cfg.kmax_int)
+        | (jnp.abs(kz) == cfg.kmax_int)
+        | hard
+    )
+    if not cfg.corner_modes:
+        zero |= k2 >= fdt(cfg.k2_cutoff)
+    if cfg.qonemode:
+        om = cfg.one_mode
+        zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+    pk = tables.pk_n2[n2].astype(fdt)
+    return jnp.where(zero, fdt(0), pk)
+
+
+def synthesize_half_pair_at(
+    y, z, x, cfg: SynthConfig, tables: SynthTables, dtype=jnp.float32,
+    pk_eff=None,
+):
+    """Elementwise half-SPECTRUM synthesis at output indices (shardable).
+
+    Twin of synthesize_half_pair for arbitrary index blocks with
+    y in [0, half]: the ky=0 in-plane mirror and the hard zeros come from
+    hermitian_source instead of the full-plane fixup, so any (y, z, x)
+    box -- an x-column shard of a device mesh -- generates locally.
+    pk_eff, if given, must be the SOURCE-RESOLVED field
+    (pk_effective_half_src) sliced to the same block.
+    Returns (narray, 2, 2, *shape) = (array, +/- packing, re/im, ...).
+    """
+    ppd = cfg.ppd
+    half = ppd // 2
+    y, z, x = jnp.broadcast_arrays(jnp.asarray(y), jnp.asarray(z), jnp.asarray(x))
+    sy, sz, sx, mirror, hard_zero = hermitian_source(y, z, x, ppd)
+
+    D, F, G, H, f = _raw_fields_pair(
+        sy, sz, sx, cfg, tables, dtype, allow_pallas=False, pk_eff=pk_eff
+    )
+
+    sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im
+    live = jnp.where(hard_zero, dtype(0), dtype(1))
+
+    def C(w):
+        return (w[0] * live, w[1] * sign * live)
+
+    if cfg.just_density:
+        zD = C(D)
+        zero2 = (jnp.zeros_like(zD[0]), zD[0] * 0)
+        return _pack_pm(zD, zero2)[None]
+
+    A = _pack_pm(C(D), C(F))
+    B = _pack_pm(C(G), C(H))
+    if not cfg.qPLT:
+        return jnp.stack([A, B])
+    Ff = (F[0] * f, F[1] * f)
+    Gf = (G[0] * f, G[1] * f)
+    Hf = (H[0] * f, H[1] * f)
+    zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+    A2 = _pack_pm(C(zero2), C(Ff))
+    B2 = _pack_pm(C(Gf), C(Hf))
+    return jnp.stack([A, B, A2, B2])
+
+
 def _assemble_pair(re, im, half):
     """Full-space (re, im) from half-space raw fields (conj = negate im)."""
     ppd = re.shape[-1]

@@ -76,7 +76,14 @@ def replicate(tree, mesh):
 
 
 def xspace_zslabs(model, mesh, pair: bool = False):
-    """Full sharded forward, resharded to z-slab output layout."""
+    """Full sharded forward, resharded to z-slab output layout.
+
+    The pair path uses the fused half-spectrum step whose final
+    all_to_all lands whole z-planes per device directly -- no separate
+    resharding collective.
+    """
+    if pair and model.param.f_NL == 0 and model._D_source is None:
+        return model.xspace_half_pair_sharded(mesh, zplanes=True)
     x = model.xspace_pair_sharded(mesh) if pair else model.xspace_sharded(mesh)
     return jax.device_put(x, zslab_sharding(mesh, pair))
 
