@@ -17,11 +17,12 @@ def states_for(seed, ppd):
     ys, zs, xs = np.meshgrid(
         np.arange(ppd // 2), np.arange(ppd), np.arange(ppd), indexing="ij"
     )
+    u = lambda t: pcg_device.unpack(jnp.asarray(t))
+    g = pcg_device.gather
     m, c = pcg_device.compose_affine(
-        jnp.asarray(mzt)[zs], jnp.asarray(czt)[zs],
-        jnp.asarray(mxt)[xs], jnp.asarray(cxt)[xs],
+        g(u(mzt), zs), g(u(czt), zs), g(u(mxt), xs), g(u(cxt), xs)
     )
-    return pcg_device.madd128(m, jnp.asarray(planes)[ys], c)
+    return pcg_device.madd128(m, g(u(planes), ys), c)
 
 
 @pytest.mark.parametrize("fixed", [False, True])

@@ -9,15 +9,15 @@ from zeldovich_tpu.ops import pcg, pcg_device
 def rand128(rng, shape):
     vals = [int.from_bytes(rng.bytes(16), "little") for _ in range(np.prod(shape))]
     arr = np.stack([pcg.to_limbs32(v) for v in vals]).reshape(*shape, 4)
-    return vals, jnp.asarray(arr)
+    return vals, pcg_device.unpack(jnp.asarray(arr))
 
 
 def test_mul_add_128():
     rng = np.random.RandomState(0)
     av, a = rand128(rng, (17,))
     bv, b = rand128(rng, (17,))
-    got_mul = np.asarray(pcg_device.mul128(a, b))
-    got_add = np.asarray(pcg_device.add128(a, b))
+    got_mul = np.asarray(pcg_device.pack(pcg_device.mul128(a, b)))
+    got_add = np.asarray(pcg_device.pack(pcg_device.add128(a, b)))
     for i in range(17):
         assert pcg.from_limbs32(got_mul[i]) == (av[i] * bv[i]) & pcg.MASK128
         assert pcg.from_limbs32(got_add[i]) == (av[i] + bv[i]) & pcg.MASK128
@@ -26,7 +26,7 @@ def test_mul_add_128():
 def test_bump_and_output():
     rng = np.random.RandomState(1)
     sv, s = rand128(rng, (9,))
-    bumped = np.asarray(pcg_device.bump(s))
+    bumped = np.asarray(pcg_device.pack(pcg_device.bump(s)))
     outs = np.asarray(pcg_device.output_u64(s))
     for i in range(9):
         assert pcg.from_limbs32(bumped[i]) == pcg.bump(sv[i])
@@ -52,12 +52,14 @@ def test_mode_uniforms_match_host():
     ys, zs, xs = np.meshgrid(
         np.arange(ppd // 2), np.arange(ppd), np.arange(ppd), indexing="ij"
     )
+    u = lambda t: pcg_device.unpack(jnp.asarray(t))
+    g = pcg_device.gather
     R, T = pcg_device.mode_uniform_pair(
-        jnp.asarray(planes)[ys],
-        jnp.asarray(mzt)[zs],
-        jnp.asarray(czt)[zs],
-        jnp.asarray(mxt)[xs],
-        jnp.asarray(cxt)[xs],
+        g(u(planes), ys),
+        g(u(mzt), zs),
+        g(u(czt), zs),
+        g(u(mxt), xs),
+        g(u(cxt), xs),
     )
     R, T = np.asarray(R), np.asarray(T)
 

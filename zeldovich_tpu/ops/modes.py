@@ -94,18 +94,22 @@ class SynthConfig:
 class SynthTables:
     """Device arrays consumed by the kernel (host-precomputed)."""
 
-    planes: jax.Array  # (ppd//2, 4) u32 per-y-plane RNG states
-    mz: jax.Array  # (ppd, 4) u32 z-axis affine multipliers
-    cz: jax.Array  # (ppd, 4) u32 z-axis affine increments
-    mx: jax.Array  # (ppd, 4) u32 x-axis affine multipliers
-    cx: jax.Array  # (ppd, 4) u32 x-axis affine increments
+    # RNG limb tables are TUPLES of four u32 limb-plane arrays (least-
+    # significant first): a trailing length-4 axis would pad to 128 lanes
+    # under TPU tiling, inflating the tables and every materialized
+    # draw-chain intermediate by 32x (see ops/pcg_device.py).
+    planes: tuple  # 4 x (ppd//2,) u32 per-y-plane RNG states
+    mz: tuple  # 4 x (ppd,) u32 z-axis affine multipliers
+    cz: tuple  # 4 x (ppd,) u32 z-axis affine increments
+    mx: tuple  # 4 x (ppd,) u32 x-axis affine multipliers
+    cx: tuple  # 4 x (ppd,) u32 x-axis affine increments
     pk_n2: jax.Array  # (3*(ppd/2)^2+1,) f64 P(|k|) by integer n2
     M_n2: jax.Array | None  # same-indexed f_NL M(k, a) factor
     eig: jax.Array | None  # (ppd_e, ppd_e, ppd_e//2+1, 4) PLT eigenmodes
-    # precomposed (z, x) jump maps: (ppd, ppd, 4) u32 -- cuts a mode's
+    # precomposed (z, x) jump maps: 4 x (ppd, ppd) u32 -- cuts a mode's
     # 128-bit multiplies from 5 to 3; built once on device at setup
-    mzx: jax.Array | None = None
-    czx: jax.Array | None = None
+    mzx: tuple | None = None
+    czx: tuple | None = None
 
     def tree_flatten(self):
         fields = (
@@ -138,22 +142,29 @@ class SynthTables:
     ) -> "SynthTables":
         mz, cz = pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
         mx, cx = pcg.axis_affine_tables(ppd, 2)
+
+        def split(a, bcast=None):  # (n, 4) host -> 4 x (n,) device tuple
+            t = tuple(jnp.asarray(np.ascontiguousarray(a[:, j])) for j in range(4))
+            if bcast is not None:
+                t = tuple(x[bcast] for x in t)
+            return t
+
         if precompose is None:
             precompose = ppd <= 4096  # 2 * ppd^2 * 16 B of HBM
         mzx = czx = None
         if precompose:
             mzx, czx = jax.jit(pcg_device.compose_affine)(
-                jnp.asarray(mz)[:, None, :],
-                jnp.asarray(cz)[:, None, :],
-                jnp.asarray(mx)[None, :, :],
-                jnp.asarray(cx)[None, :, :],
+                split(mz, (slice(None), None)),
+                split(cz, (slice(None), None)),
+                split(mx, (None, slice(None))),
+                split(cx, (None, slice(None))),
             )
         return cls(
-            planes=jnp.asarray(pcg.plane_state_table(seed, ppd)),
-            mz=jnp.asarray(mz),
-            cz=jnp.asarray(cz),
-            mx=jnp.asarray(mx),
-            cx=jnp.asarray(cx),
+            planes=split(pcg.plane_state_table(seed, ppd)),
+            mz=split(mz),
+            cz=split(cz),
+            mx=split(mx),
+            cx=split(cx),
             pk_n2=jnp.asarray(pk_n2),
             M_n2=None if M_n2 is None else jnp.asarray(M_n2),
             eig=None if eig is None else jnp.asarray(eig),
@@ -233,20 +244,21 @@ def _raw_fields(
         # Gaussian deviate scaled by sqrt(P(k)): deterministic Box-Muller,
         # exactly 2 draws per mode (power_spectrum.cpp:338-359).
         sy_rng = jnp.minimum(sy, half - 1)  # y-Nyquist rows are zeroed anyway
+        gather = pcg_device.gather
         if tables.mzx is not None:
             R, T = pcg_device.uniform_pair_from_affine(
-                tables.planes[sy_rng],
-                tables.mzx[sz, sx],
-                tables.czx[sz, sx],
+                gather(tables.planes, sy_rng),
+                gather(tables.mzx, (sz, sx)),
+                gather(tables.czx, (sz, sx)),
                 dtype=fdt,
             )
         else:
             R, T = pcg_device.mode_uniform_pair(
-                tables.planes[sy_rng],
-                tables.mz[sz],
-                tables.cz[sz],
-                tables.mx[sx],
-                tables.cx[sx],
+                gather(tables.planes, sy_rng),
+                gather(tables.mz, sz),
+                gather(tables.cz, sz),
+                gather(tables.mx, sx),
+                gather(tables.cx, sx),
                 dtype=fdt,
             )
         Pk = tables.pk_n2[n2].astype(fdt)

@@ -108,12 +108,15 @@ def _raw_fields_pair(
         D_im = phi_pair_val[1] * M
     else:
         sy_rng = jnp.minimum(sy, half - 1)
-        plane = tables.planes[sy_rng]
+        gather = pcg_device.gather
+        plane = gather(tables.planes, sy_rng)
         if tables.mzx is not None:
-            m, c = tables.mzx[sz, sx], tables.czx[sz, sx]
+            m = gather(tables.mzx, (sz, sx))
+            c = gather(tables.czx, (sz, sx))
         else:
             m, c = pcg_device.compose_affine(
-                tables.mz[sz], tables.cz[sz], tables.mx[sx], tables.cx[sx]
+                gather(tables.mz, sz), gather(tables.cz, sz),
+                gather(tables.mx, sx), gather(tables.cx, sx),
             )
         if pk_eff is not None:
             # precomputed amplitude field (zero rules folded in)
@@ -174,7 +177,9 @@ def _raw_fields_pair(
                 if live_b is None:
                     live_b = jnp.ones_like(pk_b)
                 state = pcg_device.madd128(m, plane, c)
-                state = jnp.broadcast_to(state, (*pk_b.shape, 4))
+                state = tuple(
+                    jnp.broadcast_to(s, pk_b.shape) for s in state
+                )
                 D_re, D_im = boxmuller_pallas(
                     state, pk_b, live_b, fixed_power=cfg.fixed_power
                 )

@@ -229,7 +229,7 @@ def _kernel(s0_ref, s1_ref, s2_ref, s3_ref, pk_ref, live_ref, re_ref, im_ref,
 def boxmuller_pallas(state, pk, live, fixed_power=False, interpret=None):
     """D = live * cgauss(pk) from per-mode jumped states, fused on-chip.
 
-    state: (..., 4) u32 -- RNG state positioned at the mode's draws
+    state: tuple of 4 u32 limb planes -- RNG state at the mode's draws
     pk:    (...) float -- P(|k|) per mode
     live:  (...) float -- 0.0 for zeroed modes, 1.0 otherwise
     Returns (D_re, D_im) float arrays shaped like pk.
@@ -249,9 +249,8 @@ def boxmuller_pallas(state, pk, live, fixed_power=False, interpret=None):
             a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
         return a.reshape(rows, lanes)
 
-    s = state.reshape(n, 4)
     # pad with benign values: live=0 zeroes the lanes, pk=1 keeps log finite
-    args = [flat(s[:, i], 1) for i in range(4)] + [
+    args = [flat(s, 1) for s in state] + [
         flat(pk, 1.0),
         flat(live, 0.0),
     ]
@@ -313,8 +312,8 @@ def halfspace_boxmuller_pallas(
 ):
     """D over the generated half-space, fully fused.
 
-    planes: (half, 4) u32 per-y-plane states
-    mzx, czx: (Z, X, 4) u32 precomposed jump tables
+    planes: tuple of 4 (half,) u32 per-y-plane state limbs
+    mzx, czx: tuples of 4 (Z, X) u32 precomposed jump-table limbs
     pk: (half, Z, X) float -- P(k), optionally with the zero-rule mask
         already folded in (pk = 0 zeroes the output exactly)
     live: optional explicit (half, Z, X) zero mask
@@ -324,6 +323,7 @@ def halfspace_boxmuller_pallas(
         interpret = jax.default_backend() == "cpu"
     fdt = pk.dtype.type
     half, Z, X = pk.shape
+    planes = jnp.stack(list(planes), axis=-1)  # (half, 4): tiny, SMEM-bound
 
     # block over z to bound VMEM: budget ~2 MB for the biggest operand set
     zb = Z
@@ -349,10 +349,7 @@ def halfspace_boxmuller_pallas(
         memory_space=pltpu.SMEM,
     )
 
-    limbs = [jnp.copy(mzx[:, :, j]) for j in range(4)] + [
-        jnp.copy(czx[:, :, j]) for j in range(4)
-    ]
-    args = [planes, *limbs, pk]
+    args = [planes, *mzx, *czx, pk]
     in_specs = [pspec] + [mspec] * 8 + [tile3]
     if live is not None:
         args.append(live)

@@ -5,6 +5,15 @@ TPUs have no native 128-bit (or even native 64-bit) integer units, so the
 products are formed as exact 32x32->64 partial products in uint64 (XLA
 emulates u64 with u32 pairs; each partial product stays exact).
 
+Limb LAYOUT: a 128-bit value is a TUPLE of four u32 arrays (limb-planes),
+least-significant first -- never a trailing length-4 array axis.  TPU
+tiles the minor-most two dims to (8, 128); a (..., X, 4) array pads the
+4 to 128 and inflates every materialized intermediate (and the jump
+tables themselves) by 32x, which at 2048^3 turns a 2 GB draw-chain
+temporary into 68 GB.  Tuples of planes keep every array at its natural
+(..., X) shape.  ``pack``/``unpack`` convert to/from the (..., 4) form at
+host boundaries (tests, table construction).
+
 The host precomputes, per grid axis, the affine jump-ahead coefficients
 ``(m_i, c_i)`` that position the generator at logical slot ``i`` of the
 virtual 65536-wide axis (see ``zeldovich_tpu/ops/pcg.py``).  On device, a
@@ -33,14 +42,29 @@ MULT_LIMBS = pcg.to_limbs32(pcg.PCG64_MULT)
 INC_LIMBS = pcg.to_limbs32(pcg.PCG64_INC)
 
 
-def _limbs64(a):
-    """(..., 4) u32 limbs -> tuple of 4 u64 scalars-or-arrays."""
-    a = a.astype(_U64)
+def unpack(a):
+    """(..., 4) u32 array -> limb-plane tuple (host-boundary helper)."""
+    a = jnp.asarray(a)
     return a[..., 0], a[..., 1], a[..., 2], a[..., 3]
 
 
+def pack(t):
+    """Limb-plane tuple -> (..., 4) u32 array (host-boundary helper)."""
+    return jnp.stack(list(t), axis=-1)
+
+
+def gather(t, idx):
+    """Index every limb plane of tuple ``t`` with ``idx`` (tuple = multi-dim)."""
+    return tuple(a[idx] for a in t)
+
+
+def _limbs64(a):
+    """Limb-plane tuple -> tuple of 4 u64 arrays."""
+    return tuple(x.astype(_U64) for x in a)
+
+
 def mul128(a, b):
-    """Low 128 bits of a*b. a, b: (..., 4) uint32 limbs -> (..., 4) uint32.
+    """Low 128 bits of a*b over limb-plane tuples.
 
     Schoolbook multiply over 32-bit limbs; each 32x32 partial product is an
     exact uint64.  Products' low/high halves are accumulated per column (max
@@ -84,33 +108,27 @@ def mul128(a, b):
     c1 = c1 + (r0 >> np.uint64(32))
     c2 = c2 + (c1 >> np.uint64(32))
     c3 = c3 + (c2 >> np.uint64(32))
-    return jnp.stack(
-        [
-            (r0 & _LO32).astype(_U32),
-            (c1 & _LO32).astype(_U32),
-            (c2 & _LO32).astype(_U32),
-            (c3 & _LO32).astype(_U32),
-        ],
-        axis=-1,
+    return (
+        (r0 & _LO32).astype(_U32),
+        (c1 & _LO32).astype(_U32),
+        (c2 & _LO32).astype(_U32),
+        (c3 & _LO32).astype(_U32),
     )
 
 
 def add128(a, b):
-    """(a + b) mod 2^128 over (..., 4) uint32 limbs."""
+    """(a + b) mod 2^128 over limb-plane tuples."""
     a0, a1, a2, a3 = _limbs64(a)
     b0, b1, b2, b3 = _limbs64(b)
     s0 = a0 + b0
     s1 = a1 + b1 + (s0 >> np.uint64(32))
     s2 = a2 + b2 + (s1 >> np.uint64(32))
     s3 = a3 + b3 + (s2 >> np.uint64(32))
-    return jnp.stack(
-        [
-            (s0 & _LO32).astype(_U32),
-            (s1 & _LO32).astype(_U32),
-            (s2 & _LO32).astype(_U32),
-            (s3 & _LO32).astype(_U32),
-        ],
-        axis=-1,
+    return (
+        (s0 & _LO32).astype(_U32),
+        (s1 & _LO32).astype(_U32),
+        (s2 & _LO32).astype(_U32),
+        (s3 & _LO32).astype(_U32),
     )
 
 
@@ -124,19 +142,22 @@ def compose_affine(ma, ca, mb, cb):
     return mul128(ma, mb), madd128(ma, cb, ca)
 
 
+def _const_tuple(limbs):
+    """128-bit constant -> tuple of scalar u32 arrays (broadcast in ops)."""
+    return tuple(jnp.asarray(v, dtype=_U32) for v in limbs)
+
+
 def bump(state):
-    """One LCG step in limb form."""
-    mult = jnp.asarray(MULT_LIMBS)
-    inc = jnp.asarray(INC_LIMBS)
-    return madd128(jnp.broadcast_to(mult, state.shape), state, inc)
+    """One LCG step in limb-tuple form."""
+    return madd128(_const_tuple(MULT_LIMBS), state, _const_tuple(INC_LIMBS))
 
 
 def output_u64(state):
-    """XSL-RR permutation -> uint64 values. state: (..., 4) u32 -> (...,) u64."""
-    s = state.astype(_U64)
-    lo = s[..., 0] | (s[..., 1] << np.uint64(32))
-    hi = s[..., 2] | (s[..., 3] << np.uint64(32))
-    rot = (s[..., 3] >> np.uint64(26)).astype(_U64)  # top 6 bits of the state
+    """XSL-RR permutation -> uint64 values. state: limb tuple -> array u64."""
+    s0, s1, s2, s3 = _limbs64(state)
+    lo = s0 | (s1 << np.uint64(32))
+    hi = s2 | (s3 << np.uint64(32))
+    rot = (s3 >> np.uint64(26)).astype(_U64)  # top 6 bits of the state
     x = hi ^ lo
     return (x >> rot) | (x << ((np.uint64(64) - rot) & np.uint64(63)))
 
@@ -196,9 +217,9 @@ def uniform_pair_split_from_affine(plane_state, m, c):
 def mode_uniform_pair(plane_state, mz, cz, mx, cx, dtype=jnp.float64):
     """The two uniforms (R, theta_frac) for a batch of modes.
 
-    plane_state: (..., 4) u32 -- the y-plane start state per mode
-    mz, cz:      (..., 4) u32 -- z-axis affine coefficients per mode
-    mx, cx:      (..., 4) u32 -- x-axis affine coefficients per mode
+    plane_state: limb tuple -- the y-plane start state per mode
+    mz, cz:      limb tuples -- z-axis affine coefficients per mode
+    mx, cx:      limb tuples -- x-axis affine coefficients per mode
 
     Returns (R, theta_frac) arrays of the broadcast shape, in (0, 1].
     """
