@@ -244,7 +244,10 @@ def test_pencil_final_matches_dense(mesh_shape):
         {},
         {"ZD_qdensity": 2},
         {"ZD_k_cutoff": 2.0},
-        {"ZD_qonemode": 1, "ZD_one_mode": "(2, 1, 3)"},
+        {"ZD_qonemode": 1, "ZD_one_mode": [2, 1, 3]},
+        # ky=0 one-mode: the in-plane mirror case pk_effective_half_src
+        # exists for (the zero rules are not reflection-symmetric)
+        {"ZD_qonemode": 1, "ZD_one_mode": [-2, 0, 3]},
         {
             "ZD_qPLT": 1,
             "ZD_PLT_filename": str(ASSETS / "eigmodes128"),
@@ -252,13 +255,14 @@ def test_pencil_final_matches_dense(mesh_shape):
             "ZD_PLT_target_z": 5.0,
         },
     ],
-    ids=["plain", "density", "k_cutoff", "onemode", "plt"],
+    ids=["plain", "density", "k_cutoff", "onemode", "onemode_ky0", "plt"],
 )
 def test_sharded_half_matches_incore_half(extra):
     """The fused 2-collective sharded half-spectrum step == in-core half."""
     param = make_params(ppd=16, **extra)
     model = Zeldovich(param, dtype=jnp.float32)
     want = np.asarray(model.xspace_half_pair())
+    assert np.abs(want).max() > 0  # guard against vacuous all-zero compares
     for mesh_shape in ((4, 2), (2, 4)):
         got = np.asarray(
             model.xspace_half_pair_sharded(make_mesh(mesh_shape=mesh_shape))

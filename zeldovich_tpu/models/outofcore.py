@@ -424,24 +424,17 @@ class OutOfCoreZeldovich(Zeldovich):
             while param.ppd % self.slab:
                 self.slab -= 1
         else:
-            # slab thickness serves as By (sharded over "y") in pass 1 and
-            # Bz (over "z") in pass 2: a multiple of both mesh extents that
-            # divides ppd, as close to the byte budget as possible
-            import math
-
-            q = math.lcm(mesh.shape["y"], mesh.shape["z"])
-            cands = [
-                s
-                for s in range(q, param.ppd + 1, q)
-                if param.ppd % s == 0
-            ]
-            if not cands:
+            # x-split slab kernels (parallel/outofcore.py): the only grid
+            # requirement is ppd % n_devices (x columns and the x-transform
+            # z-split); slab thickness just divides ppd.  Validate here so
+            # a bad mesh fails at setup, not mid-run.
+            n = mesh.devices.size
+            if param.ppd % n:
                 raise ValueError(
-                    f"no valid slab thickness for ppd={param.ppd} on mesh "
-                    f"{dict(mesh.shape)}"
+                    f"grid {param.ppd} not divisible by {n} mesh devices"
                 )
-            fitting = [s for s in cands if s <= self.slab]
-            self.slab = fitting[-1] if fitting else cands[0]
+            while param.ppd % self.slab:
+                self.slab -= 1
         self._cnp = np.complex128 if dtype == jnp.float64 else np.complex64
         self._fnp = np.float64 if dtype == jnp.float64 else np.float32
 

@@ -308,11 +308,17 @@ class Zeldovich:
     def xspace_half_pair_sharded(self, mesh, zplanes: bool = False):
         """Sharded half-spectrum forward (2 all-to-alls total).
 
-        Falls back to the full-grid pair pencil path for configurations
-        the half-spectrum form cannot represent (f_NL, ZD_Version=1);
-        the fallback ignores ``zplanes`` (its result is x-pencil-sharded).
+        f_NL falls back to the full-grid pair pencil path (the input-phi
+        pass is not exactly Hermitian; the fallback ignores ``zplanes`` --
+        its result is x-pencil-sharded).  ZD_Version=1 has no sharded pair
+        path at all (host-generated, sequential by construction).
         """
-        if self.param.f_NL != 0 or self._D_source is not None:
+        if self._D_source is not None:
+            raise NotImplementedError(
+                "ZD_Version=1 is host-generated; use the single-host "
+                "complex pipeline"
+            )
+        if self.param.f_NL != 0:
             return self.xspace_pair_sharded(mesh)
         from ..parallel.pencil_mmfft import xspace_half_pair_sharded
 

@@ -173,6 +173,25 @@ class SynthTables:
         )
 
 
+def zero_rules(kx, ky, kz, k2, cfg: SynthConfig, dtype):
+    """Mode-zeroing mask (zeldovich.cpp:349-358): Nyquist index, k_cutoff
+    sphere (unless CornerModes), one-mode filter.  THE single source of
+    truth -- the complex, pair, pk_effective and source-resolved paths all
+    call this so a rule change cannot desynchronize them.
+    """
+    zero = (
+        (jnp.abs(kx) == cfg.kmax_int)
+        | (jnp.abs(ky) == cfg.kmax_int)
+        | (jnp.abs(kz) == cfg.kmax_int)
+    )
+    if not cfg.corner_modes:
+        zero |= k2 >= dtype(cfg.k2_cutoff)
+    if cfg.qonemode:
+        om = cfg.one_mode
+        zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+    return zero
+
+
 def hermitian_source(y, z, x, ppd: int):
     """Map an output grid index to its generating mode and conjugation flag.
 
@@ -220,18 +239,7 @@ def _raw_fields(
         # repopulates those modes and the reference keeps that power.
         zero = n2 == 0
     else:
-        # Mode-zeroing rules (zeldovich.cpp:349-358): Nyquist index, k_cutoff
-        # sphere (unless CornerModes), one-mode filter.
-        zero = (
-            (jnp.abs(kx) == cfg.kmax_int)
-            | (jnp.abs(ky) == cfg.kmax_int)
-            | (jnp.abs(kz) == cfg.kmax_int)
-        )
-        if not cfg.corner_modes:
-            zero |= k2 >= fdt(cfg.k2_cutoff)
-        if cfg.qonemode:
-            om = cfg.one_mode
-            zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+        zero = zero_rules(kx, ky, kz, k2, cfg, fdt)
 
     if phi_val is not None:
         pass

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import pcg_device
-from .modes import SynthConfig, SynthTables, hermitian_source
+from .modes import SynthConfig, SynthTables, hermitian_source, zero_rules
 from .modes_fast import _reflect_zx
 
 
@@ -56,16 +56,7 @@ def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
     kx = jnp.where(x > half, x - ppd, x)
     n2 = (kx * kx + y * y + kz * kz).astype(jnp.int32)
     k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
-    zero = (
-        (jnp.abs(kx) == cfg.kmax_int)
-        | (jnp.abs(y) == cfg.kmax_int)
-        | (jnp.abs(kz) == cfg.kmax_int)
-    )
-    if not cfg.corner_modes:
-        zero |= k2 >= fdt(cfg.k2_cutoff)
-    if cfg.qonemode:
-        om = cfg.one_mode
-        zero |= ~((kx == om[0]) & (y == om[1]) & (kz == om[2]))
+    zero = zero_rules(kx, y, kz, k2, cfg, fdt)
     pk = tables.pk_n2[n2].astype(fdt)
     return jnp.where(zero, fdt(0), pk)
 
@@ -91,16 +82,7 @@ def _raw_fields_pair(
     if phi_pair_val is not None:
         zero = n2 == 0
     else:
-        zero = (
-            (jnp.abs(kx) == cfg.kmax_int)
-            | (jnp.abs(ky) == cfg.kmax_int)
-            | (jnp.abs(kz) == cfg.kmax_int)
-        )
-        if not cfg.corner_modes:
-            zero |= k2 >= fdt(cfg.k2_cutoff)
-        if cfg.qonemode:
-            om = cfg.one_mode
-            zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+        zero = zero_rules(kx, ky, kz, k2, cfg, fdt)
 
     if phi_pair_val is not None:
         M = tables.M_n2[n2].astype(fdt)
@@ -425,17 +407,7 @@ def pk_effective_half_src(cfg: SynthConfig, tables: SynthTables, dtype):
     kx = jnp.where(sx > half, sx - ppd, sx)
     n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
     k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
-    zero = (
-        (jnp.abs(kx) == cfg.kmax_int)
-        | (jnp.abs(ky) == cfg.kmax_int)
-        | (jnp.abs(kz) == cfg.kmax_int)
-        | hard
-    )
-    if not cfg.corner_modes:
-        zero |= k2 >= fdt(cfg.k2_cutoff)
-    if cfg.qonemode:
-        om = cfg.one_mode
-        zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
+    zero = zero_rules(kx, ky, kz, k2, cfg, fdt) | hard
     pk = tables.pk_n2[n2].astype(fdt)
     return jnp.where(zero, fdt(0), pk)
 

@@ -39,13 +39,11 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import mmfft
 from ..ops.modes import synthesize
 from ..ops.modes_real import synthesize_pair
+from .pencil_mmfft import _AX, _cfft_last_pair
 
 _CACHE: dict = {}
-
-_AX = ("z", "y")  # flattened mesh: device (iz, iy) -> slot iz*py + iy
 
 
 def _xspec(ndim: int) -> P:
@@ -75,11 +73,6 @@ def _transform_x_pair(b, sign):
     full = _cfft_last_pair(full, sign)
     return jax.lax.all_to_all(full, _AX, split_axis=b.ndim - 1,
                               concat_axis=b.ndim - 2, tiled=True)
-
-
-def _cfft_last_pair(block, sign):
-    re, im = mmfft.cfft_last(block[0], block[1], sign)
-    return jnp.stack([re, im])
 
 
 def _transform_x_complex(k, scaled):
