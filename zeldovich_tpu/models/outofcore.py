@@ -374,13 +374,11 @@ class DistributedOutOfCore:
         return writer
 
     def _write_zshards(self, aw, z0, shards):
+        from ..utils.streamio import _flush_chunk
+
         for s in shards:
             dz0 = s.index[-2].start or 0
-            h = np.asarray(s.data)
-            if self.pair:
-                h = h[:, 0] + 1j * h[:, 1]
-            for k in range(h.shape[-2]):
-                aw.submit(z0 + dz0 + k, h[:, :, k, :])
+            _flush_chunk(aw, z0 + dz0, s.data, pair=self.pair)
 
 
 class OutOfCoreZeldovich(Zeldovich):
@@ -634,10 +632,9 @@ class OutOfCoreZeldovich(Zeldovich):
                     yield z0, _ifft_y(jnp.asarray(stage[sel]))
 
         def sink(z0, h):
-            if self.pair:
-                h = h[:, 0] + 1j * h[:, 1]
-            for dz in range(h.shape[2]):
-                aw.submit(z0 + dz, h[:, :, dz, :])
+            from ..utils.streamio import _flush_chunk
+
+            _flush_chunk(aw, z0, h, pair=self.pair)
 
         try:
             _stream_to_host(items(), sink)

@@ -295,6 +295,16 @@ class Zeldovich:
         return jnp.swapaxes(x, 0, 1)
 
     @property
+    def can_fuse_zplanes(self) -> bool:
+        """Whether xspace_half_pair_sharded honors zplanes=True.
+
+        The f_NL fallback returns an x-pencil-sharded grid (zplanes is
+        ignored there); callers relying on z-plane output layout must
+        check this instead of duplicating the eligibility conditions.
+        """
+        return self.param.f_NL == 0 and self._D_source is None
+
+    @property
     def pk_eff_half_src(self):
         """Cached source-resolved amplitude field (pk_effective_half_src)."""
         if getattr(self, "_pk_eff_half_src", None) is None:

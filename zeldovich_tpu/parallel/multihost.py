@@ -39,6 +39,12 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
     # initialize it, after which initialize() hard-errors)
     if jax.distributed.is_initialized():
         return
+    triple = (coordinator, num_processes, process_id)
+    if any(v is not None for v in triple) and any(v is None for v in triple):
+        raise ValueError(
+            "coordinator/num_processes/process_id must be given together "
+            f"(got {triple}); auto-detection takes none of them"
+        )
     kwargs = {}
     if coordinator is not None:
         kwargs = dict(
@@ -82,7 +88,7 @@ def xspace_zslabs(model, mesh, pair: bool = False):
     all_to_all lands whole z-planes per device directly -- no separate
     resharding collective.
     """
-    if pair and model.param.f_NL == 0 and model._D_source is None:
+    if pair and model.can_fuse_zplanes:
         return model.xspace_half_pair_sharded(mesh, zplanes=True)
     x = model.xspace_pair_sharded(mesh) if pair else model.xspace_sharded(mesh)
     return jax.device_put(x, zslab_sharding(mesh, pair))
@@ -91,23 +97,31 @@ def xspace_zslabs(model, mesh, pair: bool = False):
 def write_local_slabs(x, writer, pair: bool = False):
     """Write the z-slabs owned by this process's devices (overlapped).
 
-    x: globally z-slab-sharded x-space grid.  Fetches of later shards are
-    started before earlier shards are written (streamio discipline).
+    x: globally z-slab-sharded x-space grid.  One-ahead streaming: shard
+    i+1's host copy is in flight while shard i is written (prefetching
+    every shard up front would materialize the whole process-local grid
+    in host RAM -- exactly what streamio exists to avoid).
     """
-    from ..utils.streamio import AsyncSlabWriter, _start_host_copy
+    from ..utils.streamio import AsyncSlabWriter, _flush_chunk, _start_host_copy
 
     shards = sorted(x.addressable_shards, key=lambda s: s.index[-2].start or 0)
-    for s in shards:
-        _start_host_copy(s.data)
+    # layout sanity: the local shards must partition a z-range in whole
+    # planes (a silently-unsharded z axis would write every shard at z=0)
+    zs = [(s.index[-2].start or 0, s.index[-2].stop or x.shape[-2])
+          for s in shards]
+    for (a0, a1), (b0, b1) in zip(zs, zs[1:]):
+        if a1 != b0:
+            raise ValueError(f"local shards do not tile z: {zs}")
     aw = AsyncSlabWriter(writer)
     try:
+        prev = None
         for s in shards:
-            z0 = s.index[-2].start or 0
-            h = np.asarray(s.data)
-            if pair:
-                h = h[:, 0] + 1j * h[:, 1]
-            for dz in range(h.shape[-2]):
-                aw.submit(z0 + dz, h[:, :, dz, :])
+            _start_host_copy(s.data)
+            if prev is not None:
+                _flush_chunk(aw, prev.index[-2].start or 0, prev.data, pair=pair)
+            prev = s
+        if prev is not None:
+            _flush_chunk(aw, prev.index[-2].start or 0, prev.data, pair=pair)
     finally:
         aw.close()
     return writer

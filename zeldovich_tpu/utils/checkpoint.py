@@ -40,18 +40,13 @@ def save_kspace(kgrid, path, target_bytes: int = 1 << 30) -> Path:
     import jax
 
     path = Path(path)
+    # wipe any previous checkpoint: a partial re-save over stale chunks
+    # must never pass exists() and silently mix old and new data, so the
+    # chunks are written first and meta.json (the validity marker) LAST
+    remove_kspace(path)
     path.mkdir(parents=True, exist_ok=True)
     Y = kgrid.shape[-3]
     chunk = _chunk_y(kgrid.shape, kgrid.dtype.itemsize, target_bytes)
-    (path / "meta.json").write_text(
-        json.dumps(
-            {
-                "shape": list(kgrid.shape),
-                "dtype": np.dtype(kgrid.dtype).str,
-                "chunk": chunk,
-            }
-        )
-    )
     on_device = isinstance(kgrid, jax.Array)
 
     def slab(y0):
@@ -68,6 +63,15 @@ def save_kspace(kgrid, path, target_bytes: int = 1 << 30) -> Path:
         prev = (y0, c)
     if prev is not None:
         np.save(path / f"k_{prev[0]:05d}.npy", np.asarray(prev[1]))
+    (path / "meta.json").write_text(
+        json.dumps(
+            {
+                "shape": list(kgrid.shape),
+                "dtype": np.dtype(kgrid.dtype).str,
+                "chunk": chunk,
+            }
+        )
+    )
     return path
 
 

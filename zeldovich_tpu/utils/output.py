@@ -28,16 +28,34 @@ import numpy as np
 from .params import Parameters
 
 
+def _pwrite_full(fd: int, data, offset: int):
+    """pwrite that survives short writes.
+
+    Linux caps one pwrite at ~2 GiB (0x7ffff000); an 8192^2 RVZel slab is
+    2 GiB exactly, so an unchecked single call would silently truncate at
+    the reference's design scale.  Accepts any contiguous buffer.
+    """
+    view = memoryview(data).cast("B")
+    done = 0
+    while done < len(view):
+        n = os.pwrite(fd, view[done:], offset + done)
+        if n <= 0:  # pragma: no cover - kernel error path
+            raise OSError(f"pwrite returned {n} at offset {offset + done}")
+        done += n
+
+
 class _SparseFile:
     """Pre-sized file written by pwrite at computed offsets (parallel IO)."""
 
     def __init__(self, path, size: int):
         self.fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
-        if os.fstat(self.fd).st_size < size:
+        # exact size: a stale larger file from a previous run must not
+        # keep trailing garbage past this run's data
+        if os.fstat(self.fd).st_size != size:
             os.ftruncate(self.fd, size)
 
-    def pwrite(self, data: bytes, offset: int):
-        os.pwrite(self.fd, data, offset)
+    def pwrite(self, data, offset: int):
+        _pwrite_full(self.fd, data, offset)
 
     def close(self):
         if self.fd is not None:
@@ -162,7 +180,7 @@ class OutputWriter:
             fn = self.param.output_path / f"ic_{n}"
             fd = os.open(fn, os.O_CREAT | os.O_WRONLY, 0o644)
             size = nslab * self.param.ppd**2 * self.dtype.itemsize
-            if os.fstat(fd).st_size < size:
+            if os.fstat(fd).st_size != size:  # exact: no stale tails
                 os.ftruncate(fd, size)
             self._pfds[n] = fd
         return fd
@@ -278,9 +296,9 @@ class OutputWriter:
         p = self.param
         if self.parallel:
             n, idx, nslab = self._slab_index(z)
-            os.pwrite(
+            _pwrite_full(
                 self._pfd(n, nslab),
-                buf.tobytes(),
+                np.ascontiguousarray(buf),
                 idx * p.ppd**2 * self.dtype.itemsize,
             )
         else:
@@ -300,10 +318,10 @@ class OutputWriter:
 
     def _emit_density(self, z: int, dens: np.ndarray):
         p = self.param
-        data = dens.astype(np.float32)
+        data = np.ascontiguousarray(dens, dtype=np.float32)
         if self.parallel:
             zi = 0 if p.qoneslab >= 0 else z
-            self._densfp.pwrite(data.tobytes(), zi * p.ppd * p.ppd * 4)
+            self._densfp.pwrite(data, zi * p.ppd * p.ppd * 4)
         else:
             data.tofile(self._densfp)
         self.bytes_written += data.size * 4

@@ -59,10 +59,14 @@ class AsyncSlabWriter:
     def close(self, close_writer: bool = True):
         self._q.put(None)
         self._t.join()
-        if self._error is not None:
-            raise self._error
-        if close_writer:
-            self.writer.close()
+        try:
+            if self._error is not None:
+                raise self._error
+        finally:
+            # close file handles even on a captured worker error (ENOSPC
+            # mid-run must not leak the density fp / parallel ic_* fds)
+            if close_writer:
+                self.writer.close()
 
 
 def _chunk_planes(shape, itemsize, ppd, pair, target_bytes):
