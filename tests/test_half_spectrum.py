@@ -117,6 +117,21 @@ def test_c2r_y_pair_matches_dense():
     )
 
 
+def test_corner_cutoff_routes_to_full_grid():
+    """CornerModes + k_cutoff leaves non-Hermitian Nyquist lines (matching
+    the reference); the half path must fall back to the full grid."""
+    import jax.numpy as jnp
+
+    param = make_params(ZD_k_cutoff=2.0, ZD_CornerModes=1)
+    model = Zeldovich(param, dtype=jnp.float64)
+    assert not model.half_exact
+    full = np.asarray(model.xspace_pair())
+    via_half_api = np.asarray(model.xspace_half_pair())  # falls back
+    np.testing.assert_array_equal(via_half_api, full)
+    with pytest.raises(NotImplementedError):
+        model.kspace_half_pair()
+
+
 def test_c2r_assembled_matches_dense():
     """The four-step-capable assembled c2r (the > DENSE_MAX y path) ==
     the dense [n, h+1] matmul form, and both match numpy ground truth."""

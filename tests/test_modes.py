@@ -82,6 +82,16 @@ def test_matches_emulator_corner_modes():
     assert_grids_match(full_grid(cfg, tables), emulate_kgrid(param, Pk))
 
 
+def test_matches_emulator_corner_modes_with_cutoff():
+    """CornerModes + k_cutoff: the self-conjugate Nyquist lines of the
+    ky=0 plane escape every zero rule (non-Hermitian, like the reference);
+    the full-grid path must still match the serial walk elementwise."""
+    param, Pk, cfg, tables = make_setup(
+        ppd=8, ZD_CornerModes=1, ZD_k_cutoff=2.0
+    )
+    assert_grids_match(full_grid(cfg, tables), emulate_kgrid(param, Pk))
+
+
 def test_matches_emulator_onemode():
     param, Pk, cfg, tables = make_setup(
         ppd=8, ZD_qonemode=1, ZD_one_mode=[2, 1, -1]

@@ -141,21 +141,42 @@ class Zeldovich:
     # Never materializes the Hermitian mirror half: z/x transforms run on
     # (half+1)/ppd of the data, the y transform is a c2r matmul.  ~2.2x
     # fewer FFT flops and half the k-space memory vs the full pair grid.
+    @property
+    def half_exact(self) -> bool:
+        """Whether the c2r half-spectrum form reproduces the full grid.
+
+        False when the spectrum is not exactly Hermitian and the c2r
+        transform would project out reference-matching leakage:
+        - f_NL: the input-phi pass repopulates Nyquist modes
+          unconditionally (zeldovich.cpp:393-400);
+        - CornerModes with k_cutoff != 1: the self-conjugate z/x-Nyquist
+          lines of the ky=0 plane escape every zero rule and draw
+          independent (non-conjugate) modes, exactly as the reference's
+          structural mirroring leaves them (measured 0.5%-of-scale
+          half-vs-full discrepancy at 16^3);
+        - ZD_Version=1 (host-generated, complex path only).
+        """
+        p = self.param
+        return (
+            p.f_NL == 0
+            and self._D_source is None
+            and not (p.CornerModes and p.k_cutoff != 1)
+        )
+
     def kspace_half_pair(self):
         """Half-spectrum pm-pairs (narray, 2, 2, half+1, Z, X).
 
-        Not applicable under f_NL: the input-phi pass repopulates Nyquist
-        modes unconditionally (zeldovich.cpp:393-400), leaving the ky=0
-        plane's kz-Nyquist row non-self-conjugate; the c2r transform would
-        project that (reference-matching) leakage out.  f_NL runs keep the
-        full-grid pair path for elementwise parity.
+        Only valid when ``half_exact`` (see there); other configurations
+        keep the full-grid pair path for elementwise parity.
         """
         from ..ops.modes_real import synthesize_half_pair
 
         if self._D_source is not None:
             raise NotImplementedError("ZD_Version=1 uses the complex path")
-        if self.param.f_NL != 0:
-            raise NotImplementedError("f_NL uses the full-grid pair path")
+        if not self.half_exact:
+            raise NotImplementedError(
+                "non-Hermitian configuration uses the full-grid pair path"
+            )
         return synthesize_half_pair(
             self.cfg, self.tables, dtype=self.dtype, pk_eff=self.pk_eff
         )
@@ -169,7 +190,7 @@ class Zeldovich:
         from ..ops import mmfft
 
         if spm is None:
-            if self.param.f_NL != 0 or self._D_source is not None:
+            if not self.half_exact:
                 return self.xspace_pair()
             return _half_pair_forward(
                 self.cfg, self.tables, self.pk_eff, self.dtype
@@ -187,7 +208,7 @@ class Zeldovich:
         full emulated-f64 synthesis.  Falls back to the full f64 pair
         path for f_NL / ZD_Version=1 (where the half form is excluded).
         """
-        if self.param.f_NL != 0 or self._D_source is not None:
+        if not self.half_exact:
             return Zeldovich(self.param, dtype=jnp.float64).xspace_pair()
         return _half_df64_forward(self.cfg, self.tables, self.pk_eff)
 
@@ -298,11 +319,11 @@ class Zeldovich:
     def can_fuse_zplanes(self) -> bool:
         """Whether xspace_half_pair_sharded honors zplanes=True.
 
-        The f_NL fallback returns an x-pencil-sharded grid (zplanes is
-        ignored there); callers relying on z-plane output layout must
+        The non-half fallback returns an x-pencil-sharded grid (zplanes
+        is ignored there); callers relying on z-plane output layout must
         check this instead of duplicating the eligibility conditions.
         """
-        return self.param.f_NL == 0 and self._D_source is None
+        return self.half_exact
 
     @property
     def pk_eff_half_src(self):
@@ -328,7 +349,7 @@ class Zeldovich:
                 "ZD_Version=1 is host-generated; use the single-host "
                 "complex pipeline"
             )
-        if self.param.f_NL != 0:
+        if not self.half_exact:
             return self.xspace_pair_sharded(mesh)
         from ..parallel.pencil_mmfft import xspace_half_pair_sharded
 

@@ -48,8 +48,14 @@ class SynthConfig:
 
     ppd: int
     fundamental: float
-    kmax_int: int  # Nyquist-index zero rule: int(ppd/2 / k_cutoff + 0.5)
+    kmax_int: int  # Nyquist-index rule: int(half * (1/k_cutoff) + .5),
+    #               the reference's ik_cutoff form (zeldovich.cpp:302,350)
     k2_cutoff: float  # physical (nyquist/k_cutoff)^2 sphere
+    # integer form of the sphere rule: smallest n2 with n2*fund^2 >=
+    # k2_cutoff evaluated in float64 -- the cutoff decision is then exact
+    # in EVERY compute dtype (an f32 k2 comparison can flip boundary
+    # modes relative to the f64 reference)
+    n2_cutoff: int
     corner_modes: bool
     qonemode: bool
     one_mode: tuple[int, int, int]
@@ -70,11 +76,23 @@ class SynthConfig:
             a0 = 1.0 / (1 + param.z_initial)
         else:
             a_NL = a0 = 1.0
+        k2_cutoff = (
+            param.nyquist * param.nyquist / (param.k_cutoff * param.k_cutoff)
+        )
+        fund2 = np.float64(param.fundamental) * np.float64(param.fundamental)
+        # smallest integer n2 with n2 * fund^2 >= k2_cutoff under float64
+        # arithmetic (exactly the reference's double comparison)
+        n2_cut = int(np.ceil(k2_cutoff / float(fund2)))
+        while n2_cut > 0 and np.float64(n2_cut - 1) * fund2 >= k2_cutoff:
+            n2_cut -= 1
+        while np.float64(n2_cut) * fund2 < k2_cutoff:
+            n2_cut += 1
         return cls(
             ppd=param.ppd,
             fundamental=param.fundamental,
             kmax_int=int(half * (1.0 / param.k_cutoff) + 0.5),
-            k2_cutoff=param.nyquist * param.nyquist / (param.k_cutoff * param.k_cutoff),
+            k2_cutoff=k2_cutoff,
+            n2_cutoff=n2_cut,
             corner_modes=bool(param.CornerModes),
             qonemode=bool(param.qonemode),
             one_mode=tuple(param.one_mode),
@@ -173,11 +191,16 @@ class SynthTables:
         )
 
 
-def zero_rules(kx, ky, kz, k2, cfg: SynthConfig, dtype):
+def zero_rules(kx, ky, kz, n2, cfg: SynthConfig, dtype=None):
     """Mode-zeroing mask (zeldovich.cpp:349-358): Nyquist index, k_cutoff
     sphere (unless CornerModes), one-mode filter.  THE single source of
     truth -- the complex, pair, pk_effective and source-resolved paths all
     call this so a rule change cannot desynchronize them.
+
+    The sphere rule compares the exact integer n2 against the host-
+    precomputed f64 threshold (cfg.n2_cutoff): dtype-independent, so the
+    f32/df64 paths classify boundary modes identically to the f64
+    reference comparison.
     """
     zero = (
         (jnp.abs(kx) == cfg.kmax_int)
@@ -185,7 +208,7 @@ def zero_rules(kx, ky, kz, k2, cfg: SynthConfig, dtype):
         | (jnp.abs(kz) == cfg.kmax_int)
     )
     if not cfg.corner_modes:
-        zero |= k2 >= dtype(cfg.k2_cutoff)
+        zero |= n2 >= cfg.n2_cutoff
     if cfg.qonemode:
         om = cfg.one_mode
         zero |= ~((kx == om[0]) & (ky == om[1]) & (kz == om[2]))
@@ -239,7 +262,7 @@ def _raw_fields(
         # repopulates those modes and the reference keeps that power.
         zero = n2 == 0
     else:
-        zero = zero_rules(kx, ky, kz, k2, cfg, fdt)
+        zero = zero_rules(kx, ky, kz, n2, cfg)
 
     if phi_val is not None:
         pass

@@ -34,7 +34,10 @@ def _use_pallas(dtype) -> bool:
     """
     if os.environ.get("ZT_NO_PALLAS"):
         return False
-    return dtype == jnp.float32 or jax.default_backend() == "cpu"
+    backend = jax.default_backend()
+    if backend in ("gpu", "cuda", "rocm"):  # Mosaic kernel: TPU/CPU only
+        return False
+    return dtype == jnp.float32 or backend == "cpu"
 
 
 def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
@@ -56,7 +59,7 @@ def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
     kx = jnp.where(x > half, x - ppd, x)
     n2 = (kx * kx + y * y + kz * kz).astype(jnp.int32)
     k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
-    zero = zero_rules(kx, y, kz, k2, cfg, fdt)
+    zero = zero_rules(kx, y, kz, n2, cfg)
     pk = tables.pk_n2[n2].astype(fdt)
     return jnp.where(zero, fdt(0), pk)
 
@@ -82,7 +85,7 @@ def _raw_fields_pair(
     if phi_pair_val is not None:
         zero = n2 == 0
     else:
-        zero = zero_rules(kx, ky, kz, k2, cfg, fdt)
+        zero = zero_rules(kx, ky, kz, n2, cfg)
 
     if phi_pair_val is not None:
         M = tables.M_n2[n2].astype(fdt)
@@ -407,7 +410,7 @@ def pk_effective_half_src(cfg: SynthConfig, tables: SynthTables, dtype):
     kx = jnp.where(sx > half, sx - ppd, sx)
     n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
     k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
-    zero = zero_rules(kx, ky, kz, k2, cfg, fdt) | hard
+    zero = zero_rules(kx, ky, kz, n2, cfg) | hard
     pk = tables.pk_n2[n2].astype(fdt)
     return jnp.where(zero, fdt(0), pk)
 

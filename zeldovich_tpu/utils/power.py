@@ -176,11 +176,14 @@ class PowerSpectrum:
                 if k < 0.0 or P < 0.0:
                     continue
                 k *= param.Pk_scale
+                # C's log(0) is -inf (the reference loads such rows,
+                # power_spectrum.cpp:158); python math.log(0) raises
+                logP = math.log(P) if P > 0.0 else float("-inf")
                 if k > 0.0:
-                    self.spline.load(math.log(k), math.log(P))
+                    self.spline.load(math.log(k), logP)
                     self.kmin = min(k, self.kmin)
                 else:
-                    self.spline.load(-1e3, math.log(P))
+                    self.spline.load(-1e3, logP)
                 self.kmax = max(k, self.kmax)
         self.spline.spline()
         self.normalize()
