@@ -340,6 +340,54 @@ def _pack_pm(Dp, Fp):
     return jnp.stack([sp, sm])
 
 
+def _pack_fix_pad(Dp, Fp, half):
+    """Fused packing for the half-spectrum form: (2, 2, half+1, Z, X).
+
+    Bit-equal to ``_pack_pm(fix(D), fix(F))`` (gathers commute with adds)
+    but restructured for TPU: pack first (elementwise, fuses with the
+    field math), fix ONLY the ky=0 plane via one dynamic-update-slice per
+    component -- the conjugate-reflected plane of packing sp is exactly
+    reflect(conj(sm)) and vice versa -- and append the zero Nyquist row
+    with a single pad of the stacked result.  The concatenate-per-field
+    form cost ~36 ms of the 56 ms synthesis at 512^3; this form is ~3x
+    cheaper.
+    """
+    sp_re = Dp[0] - Fp[1]
+    sp_im = Dp[1] + Fp[0]
+    sm_re = Dp[0] + Fp[1]
+    sm_im = Dp[1] - Fp[0]
+    ppd = sp_re.shape[-1]
+    z = jnp.arange(ppd)[:, None]
+    x = jnp.arange(ppd)[None, :]
+    fixm = (z > half) | ((z == 0) & (x > half))
+    orig = (z == 0) & (x == 0)
+
+    def fixed0(a_re, a_im, o_re, o_im):
+        p_re = jnp.where(
+            fixm, _reflect_zx(o_re[..., 0, :, :]), a_re[..., 0, :, :]
+        )
+        p_im = jnp.where(
+            fixm, -_reflect_zx(o_im[..., 0, :, :]), a_im[..., 0, :, :]
+        )
+        zero = jnp.zeros((), a_re.dtype)
+        return jnp.where(orig, zero, p_re), jnp.where(orig, zero, p_im)
+
+    spf = fixed0(sp_re, sp_im, sm_re, sm_im)
+    smf = fixed0(sm_re, sm_im, sp_re, sp_im)
+    sp = jnp.stack(
+        [sp_re.at[..., 0, :, :].set(spf[0]),
+         sp_im.at[..., 0, :, :].set(spf[1])]
+    )
+    sm = jnp.stack(
+        [sm_re.at[..., 0, :, :].set(smf[0]),
+         sm_im.at[..., 0, :, :].set(smf[1])]
+    )
+    out = jnp.stack([sp, sm])  # (2, 2, ..., half, Z, X)
+    pad = [(0, 0)] * out.ndim
+    pad[-3] = (0, 1)  # the zero y-Nyquist row
+    return jnp.pad(out, pad)
+
+
 @partial(jax.jit, static_argnames=("cfg", "dtype", "accurate"))
 def synthesize_half_pair(
     cfg: SynthConfig,
@@ -371,23 +419,20 @@ def synthesize_half_pair(
         accurate=accurate,
     )
 
-    def fix(w):
-        return _fix_plane0_pair(w[0], w[1], half)
-
     if cfg.just_density:
         zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
-        return _pack_pm(fix(D), fix(zero2))[None]
+        return _pack_fix_pad(D, zero2, half)[None]
 
-    A = _pack_pm(fix(D), fix(F))
-    B = _pack_pm(fix(G), fix(H))
+    A = _pack_fix_pad(D, F, half)
+    B = _pack_fix_pad(G, H, half)
     if not cfg.qPLT:
         return jnp.stack([A, B])
     Ff = (F[0] * f, F[1] * f)
     Gf = (G[0] * f, G[1] * f)
     Hf = (H[0] * f, H[1] * f)
     zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
-    A2 = _pack_pm(fix(zero2), fix(Ff))
-    B2 = _pack_pm(fix(Gf), fix(Hf))
+    A2 = _pack_fix_pad(zero2, Ff, half)
+    B2 = _pack_fix_pad(Gf, Hf, half)
     return jnp.stack([A, B, A2, B2])
 
 
