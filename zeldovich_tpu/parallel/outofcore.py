@@ -41,7 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.modes import synthesize
 from ..ops.modes_real import synthesize_pair
-from .pencil_mmfft import _AX, _cfft_last_pair
+from .pencil_mmfft import _AX, _cfft_last_pair, _flat_index
 
 _CACHE: dict = {}
 
@@ -55,11 +55,6 @@ def _check_grid(ppd, mesh: Mesh):
     n = mesh.devices.size
     if ppd % n:
         raise ValueError(f"grid {ppd} not divisible by {n} mesh devices")
-
-
-def _flat_index():
-    py = jax.lax.axis_size("y")
-    return jax.lax.axis_index("z") * py + jax.lax.axis_index("y")
 
 
 def _transform_x_pair(b, sign):

@@ -61,12 +61,23 @@ def _pencil_3d(block, transform):
     return block
 
 
-def _check_divisible(shape, mesh: Mesh):
+def _check_divisible(shape, mesh: Mesh, final: bool = False):
+    """Validate grid/mesh divisibility with a clear error.
+
+    The layout-preserving transforms need X divisible by each mesh axis;
+    the transpose-light ``final`` forms leave the result x-pencil-sharded
+    over BOTH axes and additionally need X % (py * pz) == 0.
+    """
     py, pz = mesh.shape["y"], mesh.shape["z"]
     Y, Z, X = shape[-3], shape[-2], shape[-1]
     if Y % py or Z % pz or X % py or X % pz:
         raise ValueError(
             f"grid {shape[-3:]} not divisible by mesh (y={py}, z={pz})"
+        )
+    if final and X % (py * pz):
+        raise ValueError(
+            f"x extent {X} not divisible by {py * pz} devices (the final "
+            "pencil layout splits x over the whole mesh)"
         )
 
 
@@ -104,7 +115,7 @@ def ifft3_sharded_final(garr, mesh: Mesh):
     Same logical result as ifft3_sharded (the global array is identical);
     only the output sharding differs: (..., None, None, ("y","z")).
     """
-    _check_divisible(garr.shape, mesh)
+    _check_divisible(garr.shape, mesh, final=True)
     in_spec, out_spec = _final_specs(garr.ndim)
     f = shard_map(
         partial(_pencil_3d_final, transform=_ifft_scaled),

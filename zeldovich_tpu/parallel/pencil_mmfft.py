@@ -52,11 +52,7 @@ def _pencil_3d_pair(block, sign):
     return _transform_axis_pair(block, "z", -2, sign)
 
 
-def _check(shape, mesh):
-    py, pz = mesh.shape["y"], mesh.shape["z"]
-    Y, Z, X = shape[-3], shape[-2], shape[-1]
-    if Y % py or Z % pz or X % py or X % pz:
-        raise ValueError(f"grid {shape[-3:]} not divisible by mesh (y={py}, z={pz})")
+from .pencil_fft import _check_divisible as _check  # shared validation
 
 
 def _spec(ndim):
@@ -79,7 +75,7 @@ def _pencil_3d_final_pair(block, sign):
 
 def ifft3_pair_sharded_final(gpair, mesh: Mesh):
     """Inverse pair FFT leaving the result in x-pencil layout."""
-    _check(gpair.shape, mesh)
+    _check(gpair.shape, mesh, final=True)
     head = (None,) * (gpair.ndim - 3)
     f = shard_map(
         partial(_pencil_3d_final_pair, sign=+1),
@@ -118,6 +114,13 @@ def fft3_pair_sharded(gpair, mesh: Mesh):
 
 _AX = ("z", "y")  # flattened mesh: device (iz, iy) -> x-block iz*py + iy
 
+
+def _flat_index():
+    """This device's slot in the flattened ("z", "y") mesh (the _AX order)."""
+    py = jax.lax.axis_size("y")
+    return jax.lax.axis_index("z") * py + jax.lax.axis_index("y")
+
+
 _HALF_CACHE: dict = {}
 
 
@@ -138,7 +141,6 @@ def xspace_half_pair_sharded(
     Returns (narray, 2, Y, Z, X) sharded x-split, or with whole z-planes
     per device when ``zplanes`` (the multi-host parallel-output layout).
     """
-    from ..ops import mmfft
     from ..ops.modes_real import synthesize_half_pair_at
 
     ppd = cfg.ppd
@@ -152,8 +154,7 @@ def xspace_half_pair_sharded(
         xp = ppd // nd
 
         def kernel(tables, pk):
-            py = jax.lax.axis_size("y")
-            ix = jax.lax.axis_index("z") * py + jax.lax.axis_index("y")
+            ix = _flat_index()
             y = jnp.arange(half + 1)[:, None, None]
             z = jnp.arange(ppd)[None, :, None]
             x = (ix * xp + jnp.arange(xp))[None, None, :]

@@ -100,8 +100,6 @@ def synthesize_sharded_pair(
     phi_pair is a (2, Y, Z, X) sharded pair grid (f_NL input pass) whose
     reflected counterpart is produced with collective permutes.
     """
-    import jax.numpy as jnp
-
     from ..ops.modes_real import synthesize_pair
 
     if dtype is None:
