@@ -121,12 +121,10 @@ def main(argv=None):
         return 1
     print(f"Generating ICs for ppd = {param.ppd}", file=sys.stderr)
 
-    if args.dtype == "df64" and (
-        args.sharded or args.distributed or (args.part and not args.out_of_core)
-    ):
+    if args.dtype == "df64" and args.part and not args.out_of_core:
         print(
-            "--dtype df64 runs in-core single-device or --out-of-core; use "
-            "float64 or float32 with --sharded/--distributed",
+            "--dtype df64 checkpoints via --out-of-core (the fused in-core "
+            "step has no materialized k-space boundary)",
             file=sys.stderr,
         )
         return 1
@@ -238,7 +236,9 @@ def main(argv=None):
             from .parallel.multihost import run_multihost
 
             with timers.phase("Distributed sharded run"):
-                writer = run_multihost(model, mesh, pair=use_pair)
+                writer = run_multihost(
+                    model, mesh, pair=use_pair, df64=args.dtype == "df64"
+                )
             if jax.process_index() == 0:
                 writer.report(model.Pk)
                 timers.report()
@@ -296,7 +296,9 @@ def main(argv=None):
             return 0
 
         with timers.phase("Inverse FFT"):
-            if use_pair and mesh is not None and kgrid is None:
+            if mesh is not None and kgrid is None and args.dtype == "df64":
+                x = model.xspace_half_df64_sharded(mesh)
+            elif use_pair and mesh is not None and kgrid is None:
                 # fused half-spectrum sharded step (2 all-to-alls); falls
                 # back to the full-grid pencil path for f_NL/ZD_Version=1
                 x = model.xspace_half_pair_sharded(mesh)

@@ -299,7 +299,7 @@ class DistributedOutOfCore:
             for y0 in range(0, p.ppd, self.slab):
                 yield y0, synth_ifft_zx_sharded(
                     y0, self.slab, inner.cfg, inner.tables, inner.dtype,
-                    self.mesh, self.pair,
+                    self.mesh, self.pair, df64=inner.mixed,
                 )
 
         prev = None
@@ -349,7 +349,7 @@ class DistributedOutOfCore:
                 garr = jax.make_array_from_process_local_data(xsh, loc, gshape)
                 # y transform local; one all_to_all to whole-z-plane layout
                 yield z0, ifft_y_sharded(garr, self.mesh, self.pair,
-                                         zplanes=True)
+                                         zplanes=True, df64=self.inner.mixed)
 
         try:
             prev = None
@@ -398,10 +398,9 @@ class OutOfCoreZeldovich(Zeldovich):
         if self.mixed:
             dtype = jnp.float64
             pair = True
-            if param.f_NL != 0 or param.version == 1 or mesh is not None:
+            if param.f_NL != 0 or param.version == 1:
                 raise NotImplementedError(
-                    "df64 out-of-core supports ZD_Version=2 without f_NL "
-                    "on a single device/process"
+                    "df64 out-of-core supports ZD_Version=2 without f_NL"
                 )
         super().__init__(param, dtype=dtype)
         self.backing = backing
@@ -580,6 +579,7 @@ class OutOfCoreZeldovich(Zeldovich):
                     out = synth_ifft_zx_sharded(
                         y0, self.slab, self.cfg, self.tables, self.dtype,
                         self.mesh, self.pair, phi_pair=phi_pair,
+                        df64=self.mixed,
                     )
                 elif self.mixed:
                     out = _synth_ifft_zx_df64(
@@ -623,7 +623,9 @@ class OutOfCoreZeldovich(Zeldovich):
                     from ..parallel.outofcore import ifft_y_sharded
 
                     # numpy in: jax shards the host slab at dispatch
-                    yield z0, ifft_y_sharded(stage[sel], self.mesh, self.pair)
+                    yield z0, ifft_y_sharded(
+                        stage[sel], self.mesh, self.pair, df64=self.mixed
+                    )
                 elif self.mixed:
                     yield z0, _ifft_y_df64(jnp.asarray(stage[sel]))
                 elif self.pair:

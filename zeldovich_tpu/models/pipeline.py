@@ -368,6 +368,40 @@ class Zeldovich:
             self.cfg, self.tables, pk, mesh, self.dtype, zplanes=zplanes
         )
 
+    def xspace_half_df64_sharded(self, mesh, zplanes: bool = False):
+        """The --dtype df64 parity mode on a device mesh.
+
+        Fused sharded half-spectrum step (2 all-to-alls) with the
+        exact-primitive f32 draw chain and two-float int8-MXU transforms;
+        output is (narray, 2, Y, Z, X) float64.  Non-Hermitian
+        configurations (f_NL, CornerModes+k_cutoff) fall back to the
+        full-f64 sharded pair path -- same parity, pencil dataflow
+        (the fallback ignores ``zplanes``; see can_fuse_zplanes).
+        """
+        if self._D_source is not None:
+            raise NotImplementedError(
+                "ZD_Version=1 is host-generated; use the single-host "
+                "complex pipeline"
+            )
+        if not self.half_exact:
+            return Zeldovich(self.param, dtype=jnp.float64).xspace_pair_sharded(
+                mesh
+            )
+        from ..parallel.pencil_mmfft import xspace_half_df64_sharded
+
+        pk = self.pk_eff_half_src.astype(jnp.float32)
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pk = jax.device_put(
+                np.asarray(pk),
+                NamedSharding(mesh, P(None, None, ("z", "y"))),
+            )
+        return xspace_half_df64_sharded(
+            self.cfg, self.tables, pk, mesh, zplanes=zplanes
+        )
+
     # -- full run ------------------------------------------------------
     def run(self, setup_dir: bool = True) -> OutputWriter:
         from ..utils.streamio import stream_xspace

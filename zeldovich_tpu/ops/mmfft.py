@@ -197,10 +197,56 @@ def _cmatmul_df64(arp, aip, sliced):
     return _psub(k1, k2), _padd(k1, k3)
 
 
+@lru_cache(maxsize=None)
+def _twiddle_pair(n1: int, n2: int, sign: int):
+    """Four-step twiddles as (hi, lo) f32 pairs (host-split from f64)."""
+    tr, ti = _twiddle(n1, n2, sign, np.float64)
+
+    def split(v):
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        return hi, lo
+
+    return split(tr), split(ti)
+
+
 def _cfft_last_df64(rep, imp, sign: int):
-    """Dense pair DFT along the last axis (n <= DENSE_MAX or prime)."""
+    """Pair DFT along the last axis: dense matmul or four-step split.
+
+    The four-step form (n > DENSE_MAX) matches _cfft_last_ozaki's
+    structure with the twiddle rotation done in error-free pair
+    arithmetic (ozaki.pair_mul) so the elementwise step stays at the
+    ~2^-40 accuracy of the int8 limb matmuls.
+    """
     n = rep[0].shape[-1]
-    return _cmatmul_df64(rep, imp, _dft_sliced(n, sign))
+    n1, n2 = _factor(n)
+    if n1 == 1 or n <= DENSE_MAX:
+        return _cmatmul_df64(rep, imp, _dft_sliced(n, sign))
+
+    shape = rep[0].shape[:-1]
+    resh = lambda p: tuple(c.reshape(*shape, n1, n2) for c in p)
+    swap = lambda p: tuple(jnp.swapaxes(c, -1, -2) for c in p)
+    arp, aip = resh(rep), resh(imp)
+    # step 1 (W @ A over n1) as A^T @ W^T
+    crt, cit = _cmatmul_df64(
+        swap(arp), swap(aip), _dft_sliced(n1, sign, transposed=True)
+    )
+    crp, cip = swap(crt), swap(cit)
+    (trh, trl), (tih, til) = jax.tree.map(
+        jnp.asarray, _twiddle_pair(n1, n2, sign)
+    )
+    # d = c * t (complex pair rotation)
+    rr = ozaki.pair_mul(crp[0], crp[1], trh, trl)
+    ii = ozaki.pair_mul(cip[0], cip[1], tih, til)
+    ri = ozaki.pair_mul(crp[0], crp[1], tih, til)
+    ir = ozaki.pair_mul(cip[0], cip[1], trh, trl)
+    drp = _psub(rr, ii)
+    dip = _padd(ri, ir)
+    erp, eip = _cmatmul_df64(drp, dip, _dft_sliced(n2, sign))
+    fin = lambda p: tuple(
+        jnp.swapaxes(c, -1, -2).reshape(*shape, n) for c in p
+    )
+    return fin(erp), fin(eip)
 
 
 def _cfft_axis_df64(rep, imp, axis: int, sign: int):
@@ -211,28 +257,40 @@ def _cfft_axis_df64(rep, imp, axis: int, sign: int):
     return back(rep), back(imp)
 
 
-def ifft3_half_df64(spm):
-    """Two-float inverse half-spectrum transform (the --dtype df64 path).
+def _c2r_y_df64(rep, imp):
+    """Pair c2r transform along the ky axis (the df64 twin of c2r_y_pair).
 
-    spm: (narray, 2, 2, h+1, Z, X) float32 (exact synthesis values; the
-    low components start at zero).  Returns (narray, 2, Y, Z, X) float64
-    assembled from the final (hi, lo) pairs -- the only f64 ops are the
-    output conversion.  Dense-path sizes only (ppd <= 2 * DENSE_MAX).
+    rep, imp: (hi, lo) pairs with component shape (.., 2pm, h+1, Z, X).
+    Returns (out_re, out_im) pairs of shape (.., Y, Z, X).  Above
+    DENSE_MAX the full y-spectrum is assembled (exact concatenation of
+    pair components) and one four-step pair transform inverts it.
     """
-    z = jnp.zeros_like(spm[..., 0, :, :, :])
-    rep = (spm[..., 0, :, :, :], z)  # (narray, 2pm, h+1, Z, X) pairs
-    imp = (spm[..., 1, :, :, :], z)
-    for ax in (-2, -1):
-        rep, imp = _cfft_axis_df64(rep, imp, ax, +1)
-
-    n = rep[0].shape[-2]
-    CT_s, ST_s = _c2r_sliced(n)
+    n = rep[0].shape[-2]  # Z extent == full grid size
 
     def pm(p, k):  # select +/- packing k of a pair
         return (p[0][..., k, :, :, :], p[1][..., k, :, :, :])
 
     spr, smr = pm(rep, 0), pm(rep, 1)
     spi, smi = pm(imp, 0), pm(imp, 1)
+
+    if n > DENSE_MAX:
+        # assembled form (see _c2r_y_pair_assembled): rows k > h of the
+        # packed field D + iF equal conj(sm[n-k]); component-wise concat
+        # of the pairs is exact
+        def cat(top, mid, neg):
+            m = tuple(c[..., 1:-1, :, :][..., ::-1, :, :] for c in mid)
+            if neg:
+                m = tuple(-c for c in m)
+            return tuple(
+                jnp.concatenate([t, x], axis=-3) for t, x in zip(top, m)
+            )
+
+        fre = cat(spr, smr, neg=False)
+        fim = cat(spi, smi, neg=True)
+        fre, fim = _cfft_axis_df64(fre, fim, -3, +1)
+        return fre, fim
+
+    CT_s, ST_s = _c2r_sliced(n)
     twoDr, twoDi = _padd(spr, smr), _padd(spi, smi)
     twoFr, twoFi = _psub(spi, smi), _psub(smr, spr)
 
@@ -243,11 +301,28 @@ def ifft3_half_df64(spm):
 
     out_re = _padd(mm(CT_s, twoDr), mm(ST_s, twoDi))
     out_im = _padd(mm(CT_s, twoFr), mm(ST_s, twoFi))
+    return out_re, out_im
 
-    def to64(p):
-        return p[0].astype(jnp.float64) + p[1].astype(jnp.float64)
 
-    return jnp.stack([to64(out_re), to64(out_im)], axis=-4)
+def _pair_to_f64(p):
+    return p[0].astype(jnp.float64) + p[1].astype(jnp.float64)
+
+
+def ifft3_half_df64(spm):
+    """Two-float inverse half-spectrum transform (the --dtype df64 path).
+
+    spm: (narray, 2, 2, h+1, Z, X) float32 (exact synthesis values; the
+    low components start at zero).  Returns (narray, 2, Y, Z, X) float64
+    assembled from the final (hi, lo) pairs -- the only f64 ops are the
+    output conversion.
+    """
+    z = jnp.zeros_like(spm[..., 0, :, :, :])
+    rep = (spm[..., 0, :, :, :], z)  # (narray, 2pm, h+1, Z, X) pairs
+    imp = (spm[..., 1, :, :, :], z)
+    for ax in (-2, -1):
+        rep, imp = _cfft_axis_df64(rep, imp, ax, +1)
+    out_re, out_im = _c2r_y_df64(rep, imp)
+    return jnp.stack([_pair_to_f64(out_re), _pair_to_f64(out_im)], axis=-4)
 
 
 def cfft_axis(re, im, axis: int, sign: int, precision=lax.Precision.HIGHEST):

@@ -462,7 +462,7 @@ def pk_effective_half_src(cfg: SynthConfig, tables: SynthTables, dtype):
 
 def synthesize_half_pair_at(
     y, z, x, cfg: SynthConfig, tables: SynthTables, dtype=jnp.float32,
-    pk_eff=None,
+    pk_eff=None, accurate: bool = False,
 ):
     """Elementwise half-SPECTRUM synthesis at output indices (shardable).
 
@@ -480,7 +480,8 @@ def synthesize_half_pair_at(
     sy, sz, sx, mirror, hard_zero = hermitian_source(y, z, x, ppd)
 
     D, F, G, H, f = _raw_fields_pair(
-        sy, sz, sx, cfg, tables, dtype, allow_pallas=False, pk_eff=pk_eff
+        sy, sz, sx, cfg, tables, dtype, allow_pallas=False, pk_eff=pk_eff,
+        accurate=accurate,
     )
 
     sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im

@@ -64,8 +64,15 @@ def slice_static(W: np.ndarray, nlimb: int = NLIMB):
 
 
 def _slice_dynamic(X, nlimb: int):
-    """Traced limb decomposition of the data side (f64 in, int8 limbs out)."""
-    m = jnp.max(jnp.abs(X))
+    """Traced limb decomposition of the data side (f64 in, int8 limbs out).
+
+    The power-of-two scale is PER ROW (the matmul batch element): results
+    are then invariant to how the batch is sharded or chunked -- a device
+    mesh or lax.map boundary never changes a row's rounding -- and rows
+    far below the global maximum keep their full limb precision (k-space
+    rows span many decades of P(k)).
+    """
+    m = jnp.max(jnp.abs(X), axis=-1, keepdims=True)
     # power-of-two scale: exact division, no rounding introduced
     scale = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, jnp.float64(1e-300)))))
     scale = jnp.where(m == 0.0, jnp.float64(1.0), scale)
@@ -189,6 +196,35 @@ def pair_scale(xh, xl, c: float):
     return xh * np.float32(c), xl * np.float32(c)
 
 
+def _split(a):
+    """Veltkamp split: a == hi + lo with hi carrying the top 12 mantissa
+    bits -- so hi * hi products of two splits are exact in f32."""
+    c = jnp.float32(4097.0) * a  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free f32 product: p + e == a * b exactly (Dekker, no FMA)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def pair_mul(xh, xl, yh, yl):
+    """Double-f32 multiplication (Hida et al.), error O(eps^2).
+
+    Used for the four-step df64 twiddle factors (ops/mmfft), where the
+    complex rotation must not drop below the ~2^-40 pair accuracy the
+    int8 matmuls deliver.
+    """
+    p, e = two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    return fast_two_sum(p, e)
+
+
 def _slice_pair_dynamic(hi, lo, nlimb: int):
     """(hi, lo) f32 pair -> power-of-two scale + int8 limbs, all-f32 math.
 
@@ -197,7 +233,9 @@ def _slice_pair_dynamic(hi, lo, nlimb: int):
     ``r - round(r)`` and the base-64 shifts are exact in f32.
     """
     F = jnp.float32
-    m = jnp.max(jnp.abs(hi))
+    # per-row scale: sharding/chunk-invariant rounding + full limb
+    # precision for small-norm rows (see _slice_dynamic)
+    m = jnp.max(jnp.abs(hi), axis=-1, keepdims=True)
     scale = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, F(1e-30)))))
     scale = jnp.where(m == 0.0, F(1.0), scale)
     r = hi / scale

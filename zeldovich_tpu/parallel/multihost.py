@@ -81,13 +81,19 @@ def replicate(tree, mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
-def xspace_zslabs(model, mesh, pair: bool = False):
+def xspace_zslabs(model, mesh, pair: bool = False, df64: bool = False):
     """Full sharded forward, resharded to z-slab output layout.
 
-    The pair path uses the fused half-spectrum step whose final
+    The pair and df64 paths use the fused half-spectrum step whose final
     all_to_all lands whole z-planes per device directly -- no separate
     resharding collective.
     """
+    if df64:
+        if model.can_fuse_zplanes:
+            return model.xspace_half_df64_sharded(mesh, zplanes=True)
+        return jax.device_put(
+            model.xspace_half_df64_sharded(mesh), zslab_sharding(mesh, True)
+        )
     if pair and model.can_fuse_zplanes:
         return model.xspace_half_pair_sharded(mesh, zplanes=True)
     x = model.xspace_pair_sharded(mesh) if pair else model.xspace_sharded(mesh)
@@ -133,13 +139,10 @@ def reduce_stats(writer):
         return writer
     from jax.experimental import multihost_utils
 
-    local = np.concatenate([writer._stats, [float(writer.bytes_written)]])
-    allstats = np.asarray(multihost_utils.process_allgather(local))
-    writer._stats[0] = allstats[:, 0].sum()
-    for j in range(1, 4):
-        col = allstats[:, j]
-        writer._stats[j] = col[np.argmax(np.abs(col))]
-    writer.bytes_written = int(allstats[:, 4].sum())
+    allstats = np.asarray(
+        multihost_utils.process_allgather(writer.stats_vector())
+    )
+    writer.merge_stats(allstats)
     return writer
 
 
@@ -150,7 +153,10 @@ def barrier(name: str = "zt"):
         multihost_utils.sync_global_devices(name)
 
 
-def run_multihost(model, mesh, pair: bool = False, setup_dir: bool = True):
+def run_multihost(
+    model, mesh, pair: bool = False, setup_dir: bool = True,
+    df64: bool = False,
+):
     """Distributed full run: sharded compute + parallel per-process output.
 
     Returns the (stats-reduced) writer; only process 0 should report.
@@ -160,7 +166,7 @@ def run_multihost(model, mesh, pair: bool = False, setup_dir: bool = True):
     # tables must be global arrays to enter shard_map over a global mesh
     # (the sharded pair path draws inside shard_map and needs no pk_eff)
     model.tables = replicate(model.tables, mesh)
-    x = xspace_zslabs(model, mesh, pair=pair)
+    x = xspace_zslabs(model, mesh, pair=pair, df64=df64)
     if setup_dir:
         if jax.process_index() == 0:
             setup_output_dir(model.param)

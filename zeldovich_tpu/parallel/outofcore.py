@@ -39,11 +39,13 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops import mmfft
 from ..ops.modes import synthesize
 from ..ops.modes_real import synthesize_pair
+from ..utils.cache import BoundedCache
 from .pencil_mmfft import _AX, _cfft_last_pair, _flat_index
 
-_CACHE: dict = {}
+_CACHE = BoundedCache()
 
 
 def _xspec(ndim: int) -> P:
@@ -70,6 +72,25 @@ def _transform_x_pair(b, sign):
                               concat_axis=b.ndim - 2, tiled=True)
 
 
+def _transform_x_df64(rep, imp, sign):
+    """df64 pair transform along local-split x (one all_to_all pair).
+
+    rep, imp: (hi, lo) f32 pairs with component shape [.., Z, Xp].  The
+    collectives move the 4 stacked f32 planes; transforms are the
+    two-float int8-MXU matmuls (mmfft._cfft_last_df64).
+    """
+    st = jnp.stack([rep[0], rep[1], imp[0], imp[1]])
+    full = jax.lax.all_to_all(st, _AX, split_axis=st.ndim - 2,
+                              concat_axis=st.ndim - 1, tiled=True)
+    rep, imp = mmfft._cfft_last_df64(
+        (full[0], full[1]), (full[2], full[3]), sign
+    )
+    st = jnp.stack([rep[0], rep[1], imp[0], imp[1]])
+    st = jax.lax.all_to_all(st, _AX, split_axis=st.ndim - 1,
+                            concat_axis=st.ndim - 2, tiled=True)
+    return (st[0], st[1]), (st[2], st[3])
+
+
 def _transform_x_complex(k, scaled):
     full = jax.lax.all_to_all(k, _AX, split_axis=k.ndim - 2,
                               concat_axis=k.ndim - 1, tiled=True)
@@ -80,7 +101,7 @@ def _transform_x_complex(k, scaled):
 
 def synth_ifft_zx_sharded(
     y0, ny, cfg, tables, dtype, mesh: Mesh, pair: bool,
-    gen_phi: bool = False, phi_pair=None,
+    gen_phi: bool = False, phi_pair=None, df64: bool = False,
 ):
     """Pass-1 slab: x-split synthesis + inverse FFT over z (local) and x.
 
@@ -95,7 +116,12 @@ def synth_ifft_zx_sharded(
     """
     ppd = cfg.ppd
     _check_grid(ppd, mesh)
-    key = ("synth", cfg, ny, dtype, mesh, pair, gen_phi, phi_pair is not None)
+    if df64 and (gen_phi or phi_pair is not None):
+        raise NotImplementedError("df64 excludes f_NL (pipeline fallback)")
+    key = (
+        "synth", cfg, ny, dtype, mesh, pair, gen_phi,
+        phi_pair is not None, df64,
+    )
     f = _CACHE.get(key)
     if f is None:
         nd = mesh.devices.size
@@ -106,6 +132,21 @@ def synth_ifft_zx_sharded(
             y = (y0 + jnp.arange(ny))[:, None, None]
             z = jnp.arange(ppd)[None, :, None]
             x = (ix * xp + jnp.arange(xp))[None, None, :]
+            if df64:
+                # the --dtype df64 parity mode: exact f32 synthesis +
+                # two-float transforms, float64 staging values
+                k = synthesize_pair(
+                    y, z, x, cfg, tables, dtype=jnp.float32, accurate=True
+                )
+                b = jnp.swapaxes(k, 0, 1)  # (2, narray, ny, Z, Xp)
+                zero = jnp.zeros_like(b[0])
+                rep, imp = (b[0], zero), (b[1], zero)
+                rep, imp = mmfft._cfft_axis_df64(rep, imp, -2, +1)  # z
+                rep, imp = _transform_x_df64(rep, imp, +1)
+                out = jnp.stack(
+                    [mmfft._pair_to_f64(rep), mmfft._pair_to_f64(imp)]
+                )
+                return jnp.swapaxes(out, 0, 1)
             if pair:
                 k = synthesize_pair(
                     y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi,
@@ -228,13 +269,17 @@ def fwd_zx_sharded(yslab, mesh: Mesh, pair: bool):
     return f(yslab)
 
 
-def ifft_y_sharded(zslab, mesh: Mesh, pair: bool, zplanes: bool = False):
+def ifft_y_sharded(
+    zslab, mesh: Mesh, pair: bool, zplanes: bool = False, df64: bool = False
+):
     """Pass-2 slab: inverse FFT over y of [narray(, 2), Y, Bz, X].
 
     Input is x-split, Y fully resident: the transform is local.  With
     ``zplanes`` the result is resharded (one all_to_all) so each device
     holds whole z-planes -- the multi-host parallel-output layout; the
-    single-host sink materializes the x-split result directly.
+    single-host sink materializes the x-split result directly.  ``df64``
+    splits the float64 staging values into f32 pairs and transforms with
+    the two-float int8-MXU matmuls (the --dtype df64 parity mode).
     """
     _check_grid(zslab.shape[-1], mesh)
     if zplanes and zslab.shape[-2] % mesh.devices.size:
@@ -242,10 +287,28 @@ def ifft_y_sharded(zslab, mesh: Mesh, pair: bool, zplanes: bool = False):
             f"slab thickness {zslab.shape[-2]} not divisible by "
             f"{mesh.devices.size} devices for z-plane output"
         )
-    key = ("iffty", zslab.shape, zslab.dtype, mesh, pair, zplanes)
+    key = ("iffty", zslab.shape, zslab.dtype, mesh, pair, zplanes, df64)
     f = _CACHE.get(key)
     if f is None:
-        if pair:
+        if df64:
+
+            def kernel(b):
+                p = jnp.swapaxes(b, 0, 1)  # (2, A, Y, Bzl, Xp) float64
+                hi = p.astype(jnp.float32)
+                lo = (p - hi.astype(jnp.float64)).astype(jnp.float32)
+                rep, imp = (hi[0], lo[0]), (hi[1], lo[1])
+                rep, imp = mmfft._cfft_axis_df64(rep, imp, -3, +1)
+                b = jnp.stack(
+                    [mmfft._pair_to_f64(rep), mmfft._pair_to_f64(imp)]
+                )
+                if zplanes:
+                    b = jax.lax.all_to_all(
+                        b, _AX, split_axis=b.ndim - 2,
+                        concat_axis=b.ndim - 1, tiled=True,
+                    )
+                return jnp.swapaxes(b, 0, 1)
+
+        elif pair:
 
             def kernel(b):
                 b = jnp.swapaxes(b, 0, 1)  # (2, A, Y, Bz, Xp)

@@ -121,7 +121,9 @@ def _flat_index():
     return jax.lax.axis_index("z") * py + jax.lax.axis_index("y")
 
 
-_HALF_CACHE: dict = {}
+from ..utils.cache import BoundedCache
+
+_HALF_CACHE = BoundedCache()
 
 
 def xspace_half_pair_sharded(
@@ -181,6 +183,96 @@ def xspace_half_pair_sharded(
                     concat_axis=out.ndim - 1, tiled=True,
                 )
             return out
+
+        tab_spec = jax.tree.map(lambda _: P(), tables)
+        pk_spec = P(None, None, _AX)
+        if zplanes:
+            ospec = P(None, None, None, _AX, None)
+        else:
+            ospec = P(None, None, None, None, _AX)
+        f = jax.jit(
+            shard_map(
+                kernel, mesh=mesh, in_specs=(tab_spec, pk_spec),
+                out_specs=ospec,
+            )
+        )
+        _HALF_CACHE[key] = f
+    return f(tables, pk_src)
+
+
+# -- fused sharded half-spectrum forward, df64 parity mode ------------------
+
+
+def xspace_half_df64_sharded(
+    cfg, tables, pk_src, mesh: Mesh, zplanes: bool = False
+):
+    """The --dtype df64 parity mode on a device mesh: 2 all-to-alls total.
+
+    Same dataflow as xspace_half_pair_sharded -- each device synthesizes
+    its own x-columns of the full half-spectrum box, the z and c2r-y
+    transforms are local, only the x transform exchanges data -- with the
+    exact-primitive f32 draw chain (ops/accurate.py) and two-float int8-MXU
+    transforms (ozaki.omatmul_pair).  Every collective moves f32 planes
+    (the 4 pair components); the single f64 op is the output conversion.
+
+    pk_src: float32 source-resolved amplitude field (h+1, Z, X)
+    (modes_real.pk_effective_half_src), x-split at dispatch.  Returns
+    (narray, 2, Y, Z, X) float64 sharded x-split, or whole z-planes per
+    device when ``zplanes`` (the multi-host parallel-output layout).
+    """
+    from ..ops.modes_real import synthesize_half_pair_at
+
+    ppd = cfg.ppd
+    nd = mesh.devices.size
+    if ppd % nd:
+        raise ValueError(f"grid {ppd} not divisible by {nd} mesh devices")
+    key = (cfg, "df64", mesh, zplanes)
+    f = _HALF_CACHE.get(key)
+    if f is None:
+        half = ppd // 2
+        xp = ppd // nd
+
+        def kernel(tables, pk):
+            ix = _flat_index()
+            y = jnp.arange(half + 1)[:, None, None]
+            z = jnp.arange(ppd)[None, :, None]
+            x = (ix * xp + jnp.arange(xp))[None, None, :]
+            spm = synthesize_half_pair_at(
+                y, z, x, cfg, tables, dtype=jnp.float32, pk_eff=pk,
+                accurate=True,
+            )  # (narray, 2pm, 2reim, h+1, Z, Xp), exact f32
+            zero = jnp.zeros_like(spm[..., 0, :, :, :])
+            rep = (spm[..., 0, :, :, :], zero)
+            imp = (spm[..., 1, :, :, :], zero)
+            rep, imp = mmfft._cfft_axis_df64(rep, imp, -2, +1)  # z local
+            st = jnp.stack([rep[0], rep[1], imp[0], imp[1]])
+            full = jax.lax.all_to_all(
+                st, _AX, split_axis=st.ndim - 2, concat_axis=st.ndim - 1,
+                tiled=True,
+            )
+            rep, imp = (full[0], full[1]), (full[2], full[3])
+            rep, imp = mmfft._cfft_last_df64(rep, imp, +1)  # x local
+            st = jnp.stack([rep[0], rep[1], imp[0], imp[1]])
+            st = jax.lax.all_to_all(
+                st, _AX, split_axis=st.ndim - 1, concat_axis=st.ndim - 2,
+                tiled=True,
+            )
+            rep, imp = (st[0], st[1]), (st[2], st[3])
+            # y local: rows fully resident
+            out_re, out_im = mmfft._c2r_y_df64(rep, imp)
+            out = jnp.stack([out_re[0], out_re[1], out_im[0], out_im[1]])
+            if zplanes:
+                out = jax.lax.all_to_all(
+                    out, _AX, split_axis=out.ndim - 2,
+                    concat_axis=out.ndim - 1, tiled=True,
+                )
+            return jnp.stack(
+                [
+                    mmfft._pair_to_f64((out[0], out[1])),
+                    mmfft._pair_to_f64((out[2], out[3])),
+                ],
+                axis=1,
+            )
 
         tab_spec = jax.tree.map(lambda _: P(), tables)
         pk_spec = P(None, None, _AX)
