@@ -23,6 +23,10 @@ from zeldovich_tpu.utils.params import Parameters
 
 ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
 
+# every test here spawns real OS processes (or runs a full pipeline);
+# CI's fast tier deselects them with -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def make_params(outdir, ppd=16, **over):
     d = dict(
@@ -197,6 +201,214 @@ def test_distributed_outofcore_matches_single(tmp_path):
         assert got[name] == ref[name], f"{name} differs"
     err0 = outs[0][1]
     assert "rms density variation" in err0
+
+
+def test_distributed_outofcore_f_NL_matches_single(tmp_path):
+    """f_NL through the distributed out-of-core phi fabric.
+
+    The reflected-phi blocks cross process boundaries (the x reflection is
+    a jitted global index-map); the ic_* byte image must still equal the
+    plain single-process run.  Ref: the reference runs f_NL in DISK mode
+    at any NumBlock (src/zeldovich.cpp:946-959).
+    """
+    fnl = dict(ZD_f_NL=25.0, ZD_n_s=0.96, Omega_M=0.3)
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir, **fnl)).run()
+    ref = _files_bytes(ref_dir)
+    assert ref
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir, **fnl)
+    port = _free_port()
+    procs = [
+        _spawn_cli(par, 4, i, port, extra=("--out-of-core", "--slab-mb", "0"))
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+
+
+def test_distributed_plt_matches_single(tmp_path):
+    """Distributed PLT: narray=4 + replicated eigenmode-table gathers."""
+    plt = dict(
+        ZD_qPLT=1,
+        ZD_qPLT_rescale=0,
+        ZD_PLT_target_z=5.0,
+        ZD_PLT_filename=f'"{ASSETS / "eigmodes128"}"',
+    )
+    ref_kw = dict(
+        ZD_qPLT=1,
+        ZD_qPLT_rescale=0,
+        ZD_PLT_target_z=5.0,
+        ZD_PLT_filename=str(ASSETS / "eigmodes128"),
+    )
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir, **ref_kw)).run()
+    ref = _files_bytes(ref_dir)
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir, **plt)
+    port = _free_port()
+    procs = [_spawn_cli(par, 2, i, port) for i in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+
+
+def test_distributed_qdensity_and_file_mapping(tmp_path):
+    """qdensity=1 (density file) + CPD < PPD (multi-slab ic_* files)
+    through the distributed parallel writer."""
+    kw = dict(ZD_qdensity=1, CPD=5)
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir, **kw)).run()
+    ref = _files_bytes(ref_dir)
+    assert any(n.startswith("density") for n in ref)
+    assert len([n for n in ref if n.startswith("ic_")]) == 5  # CPD < PPD
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir, **kw)
+    port = _free_port()
+    procs = [_spawn_cli(par, 2, i, port) for i in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+
+
+def test_distributed_df64_matches_incore(tmp_path):
+    """--dtype df64 --distributed: parity-grade numerics across processes.
+
+    Not byte-compared (different compiled programs round the last f32 bit
+    differently; see tests/test_df64_sharded.py) -- the displacements must
+    agree with the single-device df64 run to well under the parity bar.
+    """
+    from zeldovich_tpu.utils.output import read_particles
+
+    import jax.numpy as jnp
+
+    ref_dir = tmp_path / "ref"
+    param = make_params(ref_dir)
+    from zeldovich_tpu.utils.streamio import stream_xspace
+
+    setup_output_dir(param)
+    model = Zeldovich(param, dtype=jnp.float32)
+    w = OutputWriter(param)
+    stream_xspace(model.xspace_half_df64(), w, pair=True)
+    w.close()
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    port = _free_port()
+    procs = [
+        _spawn_cli(par, 2, i, port, extra=("--dtype", "df64"))
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    ref_files = sorted(ref_dir.glob("ic_*"))
+    got_files = sorted(mh_dir.glob("ic_*"))
+    assert [f.name for f in ref_files] == [f.name for f in got_files]
+    for fr, fg in zip(ref_files, got_files):
+        ra = read_particles(fr, "RVZel")
+        rb = read_particles(fg, "RVZel")
+        np.testing.assert_array_equal(ra["i"], rb["i"])
+        for fld in ("displ", "vel"):
+            scale = np.abs(ra[fld]).max()
+            assert np.abs(ra[fld] - rb[fld]).max() < 1e-6 * scale
+
+
+def _run_distributed(par, nproc, extra=(), devs_per_proc=2):
+    port = _free_port()
+    procs = [
+        _spawn_cli(par, nproc, i, port, devs_per_proc=devs_per_proc,
+                   extra=extra)
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{err[-3000:]}"
+    return outs
+
+
+def test_distributed_part_restart(tmp_path):
+    """In-core distributed PART1 -> all processes exit -> PART2 restart.
+
+    The k-space boundary is a per-device shard dump with a mesh
+    fingerprint (utils/checkpoint.save_sharded); the restarted part 2 must
+    produce the byte-identical ic_* set (ref: the reference PART split,
+    src/zeldovich.cpp:835-846).
+    """
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir)).run()
+    ref = _files_bytes(ref_dir)
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    _run_distributed(par, 2, extra=("--part", "1"))
+    ckpt = mh_dir / "zeldovich.kspace.ckpt"
+    assert (ckpt / "meta.json").exists()
+    assert len(list(ckpt.glob("shard_d*.npy"))) == 4  # 2 procs x 2 devices
+    _run_distributed(par, 2, extra=("--part", "2"))
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+    assert not ckpt.exists()  # consumed
+
+
+def test_distributed_part_restart_mesh_mismatch(tmp_path):
+    """A PART2 restart with a different topology must fail loudly."""
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    _run_distributed(par, 2, extra=("--part", "1"))
+    port = _free_port()
+    procs = [
+        _spawn_cli(par, 4, i, port, devs_per_proc=1, extra=("--part", "2"))
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    assert any(p.returncode != 0 for p in procs)
+    assert any("checkpoint" in err for _, err in outs)
+
+
+def test_distributed_outofcore_part_restart(tmp_path):
+    """Distributed out-of-core PART1/PART2: per-process stage memmaps."""
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir)).run()
+    ref = _files_bytes(ref_dir)
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir)
+    ooc = ("--out-of-core", "--slab-mb", "0")
+    _run_distributed(par, 2, extra=(*ooc, "--part", "1"))
+    stages = sorted(mh_dir.glob("zeldovich.kspace.mm.p*"))
+    assert len(stages) == 4  # 2 memmaps + 2 meta sidecars
+    _run_distributed(par, 2, extra=(*ooc, "--part", "2"))
+    got = _files_bytes(mh_dir)
+    assert got.keys() == ref.keys()
+    for name in ref:
+        assert got[name] == ref[name], f"{name} differs"
+    assert not list(mh_dir.glob("zeldovich.kspace.mm.p*"))  # consumed
 
 
 def test_parallel_writer_matches_append(tmp_path):

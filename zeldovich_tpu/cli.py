@@ -87,12 +87,6 @@ def main(argv=None):
     jax.config.update("jax_enable_x64", True)  # u64 RNG limbs
 
     if args.distributed:
-        if args.part:
-            print(
-                "--distributed does not combine with --part yet",
-                file=sys.stderr,
-            )
-            return 1
         from .parallel.multihost import init_distributed
 
         init_distributed(args.coordinator, args.num_processes, args.process_id)
@@ -205,7 +199,7 @@ def main(argv=None):
                     model.run(
                         setup_dir=False, stage=model.stage_memmap(ckpt_mm, "r")
                     )
-                    ckpt_mm.unlink()
+                    model.cleanup_stage_memmap(ckpt_mm)
                 else:
                     # distributed: process 0 sets up the dir inside run()
                     model.run(setup_dir=args.distributed)
@@ -233,12 +227,41 @@ def main(argv=None):
         use_pair = args.pair or args.dtype == "df64" or not supports_complex()
 
         if args.distributed:
-            from .parallel.multihost import run_multihost
+            from .parallel.multihost import replicate, run_multihost
 
+            if args.part == 1:
+                # distributed PART1: sharded k-space, per-device shard dump
+                with timers.phase("Mode synthesis (+ f_NL phi pass)"):
+                    model.tables = replicate(model.tables, mesh)
+                    kgrid = (
+                        model.kspace_pair_sharded(mesh)
+                        if use_pair
+                        else model.kspace_sharded(mesh)
+                    )
+                    kgrid.block_until_ready()
+                with timers.phase("Writing k-space checkpoint"):
+                    from .utils.checkpoint import save_sharded
+
+                    save_sharded(kgrid, ckpt)
+                if jax.process_index() == 0:
+                    timers.report()
+                    print(f"Checkpoint written to {ckpt}", file=sys.stderr)
+                return 0
+            kgrid = None
+            if args.part == 2:
+                with timers.phase("Loading k-space checkpoint"):
+                    from .utils.checkpoint import load_sharded
+
+                    kgrid = load_sharded(ckpt, mesh)
             with timers.phase("Distributed sharded run"):
                 writer = run_multihost(
-                    model, mesh, pair=use_pair, df64=args.dtype == "df64"
+                    model, mesh, pair=use_pair,
+                    df64=args.dtype == "df64", kgrid=kgrid,
                 )
+            if args.part == 2 and jax.process_index() == 0:
+                from .utils.checkpoint import remove_kspace
+
+                remove_kspace(ckpt)
             if jax.process_index() == 0:
                 writer.report(model.Pk)
                 timers.report()

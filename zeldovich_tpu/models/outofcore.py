@@ -216,12 +216,6 @@ class DistributedOutOfCore:
                  backing: str = "ram", pair: bool | None = None, mesh=None):
         if mesh is None:
             raise ValueError("DistributedOutOfCore requires a global mesh")
-        if param.f_NL != 0:
-            raise NotImplementedError(
-                "f_NL with the distributed out-of-core path needs cross-"
-                "process reflected-x exchanges; use --distributed (in-core) "
-                "or single-host --out-of-core"
-            )
         # the single-host streaming machinery is reused for kernels/layout
         self.inner = OutOfCoreZeldovich(
             param, dtype=dtype, slab_bytes=slab_bytes, backing=backing,
@@ -273,6 +267,51 @@ class DistributedOutOfCore:
         shape, dtype = self.inner.stage_layout()
         return (*shape[:-1], self.x1 - self.x0), dtype
 
+    # -- distributed PART1/PART2 boundary -------------------------------
+    # The staging shards ARE the checkpoint: each process memmaps its own
+    # x-column range (suffix .p{i}) with a fingerprint sidecar so a
+    # restart with a different process/mesh topology fails loudly
+    # (ref PART split: src/zeldovich.cpp:835-846).
+    def _stage_paths(self, base):
+        from pathlib import Path
+
+        base = Path(base)
+        p = base.with_name(base.name + f".p{jax.process_index()}")
+        return p, p.with_name(p.name + ".meta.json")
+
+    def _stage_meta(self):
+        shape, dtype = self.stage_layout()
+        return {
+            "shape": list(shape),
+            "dtype": np.dtype(dtype).str,
+            "nproc": jax.process_count(),
+            "ndev": int(self.mesh.devices.size),
+            "x_range": [int(self.x0), int(self.x1)],
+        }
+
+    def stage_memmap(self, path, mode="w+"):
+        """Per-process disk stage shard (the distributed checkpoint)."""
+        import json
+
+        shape, dtype = self.stage_layout()
+        mm_path, meta_path = self._stage_paths(path)
+        if mode == "w+":
+            mm_path.parent.mkdir(parents=True, exist_ok=True)
+            meta_path.write_text(json.dumps(self._stage_meta()))
+        else:
+            want = self._stage_meta()
+            got = json.loads(meta_path.read_text())
+            if got != want:
+                raise ValueError(
+                    f"stage checkpoint mismatch: saved={got} now={want}"
+                )
+        return np.memmap(mm_path, dtype=dtype, mode=mode, shape=shape)
+
+    def cleanup_stage_memmap(self, path):
+        mm_path, meta_path = self._stage_paths(path)
+        mm_path.unlink(missing_ok=True)
+        meta_path.unlink(missing_ok=True)
+
     def _alloc_stage(self):
         shape, dtype = self.stage_layout()
         if self.inner.backing == "disk":
@@ -283,13 +322,28 @@ class DistributedOutOfCore:
             return np.memmap(path, dtype=dtype, mode="w+", shape=shape)
         return np.empty(shape, dtype=dtype)
 
+    def _stream_land(self, items, land):
+        """One-ahead shard streaming: start host DMA of slab i+1's shards
+        while slab i lands into the local staging buffer."""
+        from ..utils.streamio import _start_host_copy
+
+        prev = None
+        for key, arr in items:
+            for s in arr.addressable_shards:
+                _start_host_copy(s.data)
+            if prev is not None:
+                land(*prev)
+            prev = (key, arr)
+        if prev is not None:
+            land(*prev)
+
     def stage_pass1(self, stage=None):
         """Pass 1: sharded synthesis + z/x iFFT, x-split landing per host."""
         from ..parallel.outofcore import synth_ifft_zx_sharded
-        from ..utils.streamio import _start_host_copy
 
         inner = self.inner
         p = self.param
+        phi_stage = self._phi_stage() if p.f_NL != 0 else None
         if stage is None:
             stage = self._alloc_stage()
         head = (slice(None), slice(None)) if self.pair else (slice(None),)
@@ -297,20 +351,21 @@ class DistributedOutOfCore:
         def items():
             # pass-1 results land already x-split (the staging layout)
             for y0 in range(0, p.ppd, self.slab):
+                phi_blocks = (
+                    self._phi_blocks_global(phi_stage, y0)
+                    if phi_stage is not None
+                    else None
+                )
                 yield y0, synth_ifft_zx_sharded(
                     y0, self.slab, inner.cfg, inner.tables, inner.dtype,
                     self.mesh, self.pair, df64=inner.mixed,
+                    phi_pair=phi_blocks,
                 )
 
-        prev = None
-        for y0, arr in items():
-            for s in arr.addressable_shards:
-                _start_host_copy(s.data)
-            if prev is not None:
-                self._land_yslab(stage, head, *prev)
-            prev = (y0, arr)
-        if prev is not None:
-            self._land_yslab(stage, head, *prev)
+        self._stream_land(
+            items(), lambda y0, arr: self._land_yslab(stage, head, y0, arr)
+        )
+        del phi_stage
         return stage
 
     def _land_yslab(self, stage, head, y0, arr):
@@ -320,6 +375,145 @@ class DistributedOutOfCore:
                 (*head, slice(y0, y0 + self.slab), slice(None),
                  slice((xs.start or 0) - self.x0, xs.stop - self.x0))
             ] = np.asarray(s.data)
+
+    # -- distributed f_NL phi round trip --------------------------------
+    # The reference runs f_NL in DISK mode at any NumBlock
+    # (src/zeldovich.cpp:946-959).  Here the phi transpose fabric is
+    # x-sharded over processes like the main stage; the one cross-process
+    # dependency -- the synthesis kernel needs phi(k) at REFLECTED x
+    # indices owned by other processes -- is served by a single jitted
+    # global index-map (flip+roll resharded x-split), i.e. one collective
+    # permute per y-slab instead of any host-side exchange protocol.
+    def _phi_local_shape(self):
+        p = self.param
+        if self.pair:
+            return (1, 2, p.ppd, p.ppd, self.x1 - self.x0)
+        return (1, p.ppd, p.ppd, self.x1 - self.x0)
+
+    def _alloc_phi_stage(self):
+        shape = self._phi_local_shape()
+        dtype = self.inner._fnp if self.pair else self.inner._cnp
+        if self.inner.backing == "disk":
+            path = self.param.output_path / (
+                f"zeldovich.phi.p{jax.process_index()}.mm"
+            )
+            path.parent.mkdir(parents=True, exist_ok=True)
+            return np.memmap(path, dtype=dtype, mode="w+", shape=shape)
+        return np.empty(shape, dtype=dtype)
+
+    def _phi_stage(self):
+        from ..parallel.outofcore import (
+            fwd_y_phi_nl_sharded,
+            fwd_zx_sharded,
+            synth_ifft_zx_sharded,
+        )
+
+        inner = self.inner
+        p = self.param
+        stage = self._alloc_phi_stage()
+        head = (slice(None), slice(None)) if self.pair else (slice(None),)
+        nd = len(self._phi_local_shape())
+        xsh = self._xshard(nd)
+
+        def synth_items():
+            for y0 in range(0, p.ppd, self.slab):
+                yield y0, synth_ifft_zx_sharded(
+                    y0, self.slab, inner.cfg, inner.tables, inner.dtype,
+                    self.mesh, self.pair, gen_phi=True,
+                )
+
+        self._stream_land(
+            synth_items(),
+            lambda y0, arr: self._land_yslab(stage, head, y0, arr),
+        )
+
+        f_NL = inner.dtype(p.f_NL)
+        inv_n3 = inner.dtype(1.0 / p.ppd**3)
+        gshape_z = (*self._phi_local_shape()[:-3], p.ppd, self.slab, p.ppd)
+
+        def z_items():
+            for z0 in range(0, p.ppd, self.slab):
+                loc = np.ascontiguousarray(
+                    stage[(*head, slice(None), slice(z0, z0 + self.slab))]
+                )
+                garr = jax.make_array_from_process_local_data(
+                    xsh, loc, gshape_z
+                )
+                yield z0, fwd_y_phi_nl_sharded(
+                    garr, f_NL, inv_n3, self.mesh, self.pair
+                )
+
+        def land_z(z0, arr):
+            for s in arr.addressable_shards:
+                xs = s.index[-1]
+                stage[
+                    (*head, slice(None), slice(z0, z0 + self.slab),
+                     slice((xs.start or 0) - self.x0, xs.stop - self.x0))
+                ] = np.asarray(s.data)
+
+        self._stream_land(z_items(), land_z)
+
+        gshape_y = (*self._phi_local_shape()[:-3], self.slab, p.ppd, p.ppd)
+
+        def y_items():
+            for y0 in range(0, p.ppd, self.slab):
+                loc = np.ascontiguousarray(
+                    stage[(*head, slice(y0, y0 + self.slab))]
+                )
+                garr = jax.make_array_from_process_local_data(
+                    xsh, loc, gshape_y
+                )
+                yield y0, fwd_zx_sharded(garr, self.mesh, self.pair)
+
+        self._stream_land(
+            y_items(),
+            lambda y0, arr: self._land_yslab(stage, head, y0, arr),
+        )
+        return stage  # phi(k), x-split local shard, host-resident
+
+    def _reflect_x(self, garr):
+        """Global x index-map a[..., (-i) % n] resharded x-split (one
+        collective permute under multi-controller jit)."""
+        cache = getattr(self, "_reflect_jit", None)
+        if cache is None:
+            cache = self._reflect_jit = {}
+        f = cache.get(garr.ndim)
+        if f is None:
+            f = cache[garr.ndim] = jax.jit(
+                lambda a: jnp.roll(jnp.flip(a, axis=-1), 1, axis=-1),
+                out_shardings=self._xshard(garr.ndim),
+            )
+        return f(garr)
+
+    def _phi_blocks_global(self, phi_stage, y0):
+        """(phi_same, phi_refl) global x-split blocks for a pass-1 y-slab.
+
+        The y and z reflections read only local rows/planes (both axes are
+        process-local); the x reflection crosses processes via _reflect_x.
+        """
+        p = self.param
+        ys = np.arange(y0, y0 + self.slab)
+        rows = (p.ppd - ys) % p.ppd
+        reflz = (-np.arange(p.ppd)) % p.ppd
+        xsh3 = self._xshard(3)
+        gshape3 = (self.slab, p.ppd, p.ppd)
+
+        def gmake(local):
+            return jax.make_array_from_process_local_data(
+                xsh3, np.ascontiguousarray(local), gshape3
+            )
+
+        if self.pair:
+            comp = lambda c: phi_stage[0, c]
+            same = tuple(gmake(comp(c)[ys]) for c in (0, 1))
+            refl = tuple(
+                self._reflect_x(gmake(comp(c)[rows][:, reflz]))
+                for c in (0, 1)
+            )
+            return (same, refl)
+        same = gmake(phi_stage[0][ys])
+        refl = self._reflect_x(gmake(phi_stage[0][rows][:, reflz]))
+        return (same, refl)
 
     def run(self, setup_dir: bool = True, stage=None):
         from ..parallel.multihost import barrier, reduce_stats
@@ -452,6 +646,9 @@ class OutOfCoreZeldovich(Zeldovich):
         """
         shape, dtype = self.stage_layout()
         return np.memmap(path, dtype=dtype, mode=mode, shape=shape)
+
+    def cleanup_stage_memmap(self, path):
+        Path(path).unlink(missing_ok=True)
 
     def _alloc_stage(self, narray, name="zeldovich.stage"):
         p = self.param

@@ -155,18 +155,29 @@ def barrier(name: str = "zt"):
 
 def run_multihost(
     model, mesh, pair: bool = False, setup_dir: bool = True,
-    df64: bool = False,
+    df64: bool = False, kgrid=None,
 ):
     """Distributed full run: sharded compute + parallel per-process output.
 
-    Returns the (stats-reduced) writer; only process 0 should report.
+    ``kgrid``: optional precomputed sharded k-space grid (the PART2
+    restart path, utils/checkpoint.load_sharded) -- the forward then runs
+    only the inverse transform.  Returns the (stats-reduced) writer; only
+    process 0 should report.
     """
     from ..utils.output import OutputWriter, setup_output_dir
 
     # tables must be global arrays to enter shard_map over a global mesh
     # (the sharded pair path draws inside shard_map and needs no pk_eff)
     model.tables = replicate(model.tables, mesh)
-    x = xspace_zslabs(model, mesh, pair=pair, df64=df64)
+    if kgrid is not None:
+        x = (
+            model.xspace_pair_sharded(mesh, kgrid)
+            if pair
+            else model.xspace_sharded(mesh, kgrid)
+        )
+        x = jax.device_put(x, zslab_sharding(mesh, pair))
+    else:
+        x = xspace_zslabs(model, mesh, pair=pair, df64=df64)
     if setup_dir:
         if jax.process_index() == 0:
             setup_output_dir(model.param)
