@@ -120,6 +120,8 @@ def child():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
+    if dtype_name == "float32":
+        result.update(_roofline(ppd, param.narray, dt))
 
     # ---- end-to-end: + device->host fetch + particle serialization ----
     if os.environ.get("BENCH_E2E", "1") != "0":
@@ -127,6 +129,41 @@ def child():
         if e2e is not None:
             result.update(e2e)
     print(json.dumps(result))
+
+
+def _roofline(ppd, narray, dt):
+    """Analytic flops/bytes model of the half-spectrum step vs chip peaks.
+
+    Gives the throughput claim a denominator (what fraction of the chip
+    the step actually uses) instead of only a ratio to the project target.
+
+    Model (G = (ppd/2+1) * ppd^2 half-spectrum modes; narray complex
+    arrays carried as 2 pm-packings each -> F = 2*narray complex fields):
+      z/x transforms: dense Karatsuba matmul DFT = 3 real (rows x N)@(N x N)
+        matmuls per field per axis = 3*G*N MACs; 2 axes.
+      c2r y transform: 4 real [N x (h+1)] matmuls per array = 4*G*N MACs.
+      HBM: synthesis writes the 8 real planes (32*G bytes); each transform
+        reads+writes them (64*G per axis); c2r reads 32*G, writes 32*G.
+    MACs count as 2 flops.  Matmul operand re-streaming and XLA fusion
+    wins are not modeled: this is an analytic estimate, stated as such.
+
+    Peaks default to TPU v5e (197 bf16 Tflop/s, 819 GB/s HBM); "f32" MXU
+    matmuls at Precision.HIGHEST are 6-pass bf16, so the f32 roofline is
+    peak_bf16 / 6.  Override with BENCH_PEAK_BF16_TFLOPS / BENCH_HBM_GBS.
+    """
+    G = (ppd // 2 + 1) * ppd * ppd
+    fields = 2 * narray
+    flops = (2 * (3 * fields) + 4 * narray) * G * ppd * 2.0
+    hbm_bytes = (32 + 2 * 64 + 64) * G  # synthesis + z + x + c2r
+    peak_bf16 = float(os.environ.get("BENCH_PEAK_BF16_TFLOPS", "197")) * 1e12
+    peak_f32 = peak_bf16 / 6.0  # 6-pass bf16 = Precision.HIGHEST f32
+    peak_hbm = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
+    return {
+        "model_tflops": round(flops / dt / 1e12, 2),
+        "mxu_util_pct": round(100.0 * flops / dt / peak_f32, 1),
+        "model_hbm_gbs": round(hbm_bytes / dt / 1e9, 1),
+        "hbm_util_pct": round(100.0 * hbm_bytes / dt / peak_hbm, 1),
+    }
 
 
 def _end_to_end(param, step, ppd):
@@ -268,6 +305,10 @@ def main():
         mps = compute_mps
         stage = "synthesis+iFFT; output skipped: tunnel fetch-bound"
         extra = {}
+    # roofline denominator: fraction of the chip the step actually uses
+    for k in ("model_tflops", "mxu_util_pct", "model_hbm_gbs", "hbm_util_pct"):
+        if k in result:
+            extra[k] = result[k]
     print(
         json.dumps(
             {

@@ -56,7 +56,14 @@ def _parity(got, want):
     return np.abs(got - want).max() / scale
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1)])
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1)])
+def test_df64_sharded_parity_shapes(mesh_shape):
+    """Extra mesh shapes (the (4, 2) shape runs in the fast tier)."""
+    test_df64_sharded_parity(mesh_shape)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2)])
 def test_df64_sharded_parity(mesh_shape):
     param = make_params(ppd=16)
     mesh = make_mesh(mesh_shape=mesh_shape)
@@ -95,6 +102,7 @@ def test_df64_sharded_zplanes_layout():
     np.testing.assert_array_equal(np.asarray(x), want)
 
 
+@pytest.mark.slow
 def test_df64_sharded_plt():
     param = make_params(
         ppd=16,
@@ -168,6 +176,26 @@ def test_c2r_y_df64_assembled_matches_dense():
     scale = np.abs(to64(dense_re)).max()
     assert np.abs(to64(asm_re) - to64(dense_re)).max() < 1e-9 * scale
     assert np.abs(to64(asm_im) - to64(dense_im)).max() < 1e-9 * scale
+
+
+@pytest.mark.slow
+def test_ozaki_f64_under_shard_map(monkeypatch):
+    """Force the accelerator f64 route (Ozaki int8 matmuls) under
+    shard_map on CPU: the pod parity fallback must execute and stay
+    within f64-transform-grade error of the real-BLAS result."""
+    from zeldovich_tpu.ops import ozaki
+
+    param = make_params(ppd=16)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    model = Zeldovich(param, dtype=jnp.float64)
+    want = np.asarray(model.xspace_pair_sharded(mesh))  # real f64 BLAS
+    monkeypatch.setenv("ZT_OZAKI", "1")
+    assert ozaki.use_ozaki(jnp.float64)
+    got = np.asarray(
+        Zeldovich(param, dtype=jnp.float64).xspace_pair_sharded(mesh)
+    )
+    scale = np.abs(want).max()
+    assert 0 < np.abs(got - want).max() < 1e-9 * scale
 
 
 @pytest.mark.slow

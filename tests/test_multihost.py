@@ -50,27 +50,26 @@ def make_params(outdir, ppd=16, **over):
 
 
 def write_par(path, outdir, ppd=16, **over):
-    p = make_params(outdir, ppd=ppd, **over)
-    lines = [
-        f"BoxSize = {p.boxsize}",
-        f"NP = {ppd**3}",
-        f"CPD = {p.cpd}",
-        'ICFormat = "RVZel"',
-        f'InitialConditionsDirectory = "{outdir}"',
-        f"InitialRedshift = {p.z_initial}",
-        f"ZD_Seed = {p.seed}",
-        "ZD_NumBlock = 2",
-        "ZD_Pk_scale = 1.0",
-        "ZD_Pk_norm = 8.0",
-        "ZD_Pk_sigma = 0.02",
-        "ZD_Pk_smooth = 0.0",
-        f'ZD_Pk_filename = "{ASSETS / "wmap1new.pow"}"',
-        "ZD_Version = 2",
-    ]
-    for k, v in over.items():
-        lines.append(f"{k} = {v}")
-    path.write_text("\n".join(lines) + "\n")
-    return p
+    base = {
+        "BoxSize": 100.0,
+        "NP": ppd**3,
+        "CPD": ppd,
+        "ICFormat": '"RVZel"',
+        "InitialConditionsDirectory": f'"{outdir}"',
+        "InitialRedshift": 49.0,
+        "ZD_Seed": 12346,
+        "ZD_NumBlock": 2,
+        "ZD_Pk_scale": 1.0,
+        "ZD_Pk_norm": 8.0,
+        "ZD_Pk_sigma": 0.02,
+        "ZD_Pk_smooth": 0.0,
+        "ZD_Pk_filename": f'"{ASSETS / "wmap1new.pow"}"',
+        "ZD_Version": 2,
+    }
+    base.update(over)
+    path.write_text(
+        "\n".join(f"{k} = {v}" for k, v in base.items()) + "\n"
+    )
 
 
 def _free_port():
@@ -411,22 +410,26 @@ def test_distributed_outofcore_part_restart(tmp_path):
     assert not list(mh_dir.glob("zeldovich.kspace.mm.p*"))  # consumed
 
 
-def test_parallel_writer_matches_append(tmp_path):
-    """pwrite-at-offset mode == serial append mode, incl. CPD < PPD files."""
+@pytest.mark.parametrize(
+    "icformat", ["RVZel", "RVdoubleZel", "Zeldovich", "ZelSimple"]
+)
+def test_parallel_writer_matches_append(tmp_path, icformat):
+    """pwrite-at-offset mode == serial append mode, for every output
+    format, incl. CPD < PPD file mapping (output.cpp:208-212)."""
     ppd = 16
     rng = np.random.default_rng(3)
     slabs = rng.normal(size=(ppd, 2, ppd, ppd)) + 1j * rng.normal(
         size=(ppd, 2, ppd, ppd)
     )
 
-    pa = make_params(tmp_path / "a", CPD=5, ZD_qdensity=1)
+    pa = make_params(tmp_path / "a", CPD=5, ZD_qdensity=1, ICFormat=icformat)
     setup_output_dir(pa)
     wa = OutputWriter(pa)
     for z in range(ppd):
         wa.write_slab(z, slabs[z])
     wa.close()
 
-    pb = make_params(tmp_path / "b", CPD=5, ZD_qdensity=1)
+    pb = make_params(tmp_path / "b", CPD=5, ZD_qdensity=1, ICFormat=icformat)
     setup_output_dir(pb)
     wb = OutputWriter(pb, parallel=True)
     for z in np.random.default_rng(0).permutation(ppd):  # any order
@@ -437,3 +440,28 @@ def test_parallel_writer_matches_append(tmp_path):
     assert a.keys() == b.keys() and len(a) > 2
     for name in a:
         assert a[name] == b[name], f"{name} differs"
+
+
+def test_distributed_rvdoublezel_matches_single(tmp_path):
+    """A non-default (double-precision) format through the distributed
+    writer.  Not byte-compared: RVdoubleZel stores raw f64 displacements,
+    and the pencil FFT transforms axes in a different order than the
+    single-device ifft3, so the last f64 ulp differs per program."""
+    from zeldovich_tpu.utils.output import read_particles
+
+    ref_dir = tmp_path / "ref"
+    Zeldovich(make_params(ref_dir, ICFormat="RVdoubleZel")).run()
+
+    mh_dir = tmp_path / "mh"
+    par = tmp_path / "mh.par"
+    write_par(par, mh_dir, ICFormat='"RVdoubleZel"')
+    _run_distributed(par, 2)
+    ref_files = sorted(ref_dir.glob("ic_*"))
+    got_files = sorted(mh_dir.glob("ic_*"))
+    assert [f.name for f in ref_files] == [f.name for f in got_files]
+    for fr, fg in zip(ref_files, got_files):
+        ra = read_particles(fr, "RVdoubleZel")
+        rb = read_particles(fg, "RVdoubleZel")
+        np.testing.assert_array_equal(ra["i"], rb["i"])
+        np.testing.assert_allclose(ra["displ"], rb["displ"], atol=1e-12)
+        np.testing.assert_allclose(ra["vel"], rb["vel"], atol=1e-12)

@@ -12,6 +12,9 @@ from zeldovich_tpu.utils.params import Parameters
 
 ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
 
+# full streamed-pipeline runs; CI's fast tier deselects with -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def make_params(tmp_path, ppd=16, **over):
     d = dict(
