@@ -253,6 +253,15 @@ def main(argv=None):
                     from .utils.checkpoint import load_sharded
 
                     kgrid = load_sharded(ckpt, mesh)
+                want_nd = 5 if use_pair else 4
+                if kgrid.ndim != want_nd:
+                    print(
+                        f"checkpoint is a {kgrid.ndim}-D grid but this run "
+                        f"expects {want_nd}-D (part 1/2 must use the same "
+                        "--pair/--dtype mode)",
+                        file=sys.stderr,
+                    )
+                    return 1
             with timers.phase("Distributed sharded run"):
                 writer = run_multihost(
                     model, mesh, pair=use_pair,

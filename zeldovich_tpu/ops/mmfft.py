@@ -23,12 +23,32 @@ axis immediately before the batch/data axes: shape (2, ...).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+
+def _resolve_precision(p):
+    """None -> the ZT_FFT_PRECISION env knob (default: highest).
+
+    TPU "f32" matmuls are multi-pass bf16: highest = 6 passes (the
+    default -- the measured 8.8e-6 f32-path displacement error), high = 3
+    passes (~1.8x transform throughput for ~1 fewer decimal digit),
+    default = 1 pass (unusable for parity; exposed for experiments).
+    Explicit precision arguments are passed through untouched.
+    """
+    if p is not None:
+        return p
+    name = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
+    return {
+        "default": lax.Precision.DEFAULT,
+        "high": lax.Precision.HIGH,
+        "highest": lax.Precision.HIGHEST,
+    }[name]
 
 
 #: Below this length a single dense N x N DFT matmul is used instead of the
@@ -130,7 +150,7 @@ def _cfft_last_ozaki(re, im, sign: int):
     return er, ei
 
 
-def cfft_last(re, im, sign: int, precision=lax.Precision.HIGHEST):
+def cfft_last(re, im, sign: int, precision=None):
     """Complex DFT along the last axis of (re, im) real arrays.
 
     re, im: (..., N).  Returns (re, im) transformed, unnormalized.
@@ -139,6 +159,7 @@ def cfft_last(re, im, sign: int, precision=lax.Precision.HIGHEST):
     dtype = re.dtype
     if ozaki.use_ozaki(dtype):
         return _cfft_last_ozaki(re, im, sign)
+    precision = _resolve_precision(precision)
     n1, n2 = _factor(n)
     if n1 == 1 or n <= DENSE_MAX:
         # prime or moderate size: one dense DFT matmul (x @ W^T, W[k,j])
@@ -325,7 +346,7 @@ def ifft3_half_df64(spm):
     return jnp.stack([_pair_to_f64(out_re), _pair_to_f64(out_im)], axis=-4)
 
 
-def cfft_axis(re, im, axis: int, sign: int, precision=lax.Precision.HIGHEST):
+def cfft_axis(re, im, axis: int, sign: int, precision=None):
     """Complex DFT along ``axis`` (moveaxis wrapper over cfft_last)."""
     re = jnp.moveaxis(re, axis, -1)
     im = jnp.moveaxis(im, axis, -1)
@@ -333,7 +354,7 @@ def cfft_axis(re, im, axis: int, sign: int, precision=lax.Precision.HIGHEST):
     return jnp.moveaxis(re, -1, axis), jnp.moveaxis(im, -1, axis)
 
 
-def cfft3(pair, sign: int, axes=(-3, -2, -1), precision=lax.Precision.HIGHEST):
+def cfft3(pair, sign: int, axes=(-3, -2, -1), precision=None):
     """3-D complex DFT of a stacked pair: pair shape (2, ..., Y, Z, X)."""
     re, im = pair[0], pair[1]
     for ax in axes:
@@ -341,7 +362,7 @@ def cfft3(pair, sign: int, axes=(-3, -2, -1), precision=lax.Precision.HIGHEST):
     return jnp.stack([re, im])
 
 
-def ifft3_pair(pair, axes=(-3, -2, -1), precision=lax.Precision.HIGHEST):
+def ifft3_pair(pair, axes=(-3, -2, -1), precision=None):
     """Unnormalized inverse (FFTW +1) -- the reference convention."""
     return cfft3(pair, +1, axes, precision)
 
@@ -398,7 +419,7 @@ def _c2r_y_pair_assembled(spm, precision):
     return jnp.stack([re, im], axis=-4)
 
 
-def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
+def c2r_y_pair(spm, precision=None):
     """Half-spectrum inverse transform along the ky axis (unnormalized +1).
 
     spm: (..., 2, 2, h+1, Z, X) = (.., +/- packing, re/im, ky, Z, X) where
@@ -416,6 +437,7 @@ def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
     """
     dtype = spm.dtype
     n = spm.shape[-2]  # Z extent == full grid size
+    precision = _resolve_precision(precision)
     if n > DENSE_MAX:
         return _c2r_y_pair_assembled(spm, precision)
 
@@ -447,7 +469,7 @@ def c2r_y_pair(spm, precision=lax.Precision.HIGHEST):
     return jnp.stack([out_re, out_im], axis=-4)
 
 
-def ifft3_half_pair(spm, precision=lax.Precision.HIGHEST):
+def ifft3_half_pair(spm, precision=None):
     """Unnormalized inverse 3-D transform of a half-spectrum pm-pair.
 
     spm: (narray, 2, 2, h+1, Z, X) from modes_real.synthesize_half_pair.
@@ -460,6 +482,6 @@ def ifft3_half_pair(spm, precision=lax.Precision.HIGHEST):
     return c2r_y_pair(jnp.stack([re, im], axis=-4), precision)
 
 
-def fft3_pair(pair, axes=(-3, -2, -1), precision=lax.Precision.HIGHEST):
+def fft3_pair(pair, axes=(-3, -2, -1), precision=None):
     """Forward (FFTW -1), unnormalized."""
     return cfft3(pair, -1, axes, precision)
