@@ -187,6 +187,26 @@ def test_df64_outofcore_parity(tmp_path):
         np.testing.assert_allclose(ra["vel"], rb["vel"], atol=1e-6)
 
 
+def test_df64_outofcore_f_NL_fallback(tmp_path):
+    """df64 + f_NL streams through the full-f64 pair kernels (same parity).
+
+    The input-phi pass is not Hermitian-exact, so the mixed mode's exact-
+    primitive f32 draw chain does not apply; the constructor downgrades to
+    mixed=False (full-f64 pair) instead of refusing -- mirroring the
+    in-core fallback (models/pipeline.xspace_half_df64_sharded).
+    Reference runs f_NL in DISK mode at any NumBlock
+    (/root/reference/src/zeldovich.cpp:946-959).
+    """
+    fnl = dict(ZD_f_NL=25.0, ZD_n_s=0.96, Omega_M=0.3)
+    p1 = make_params(tmp_path / "a", **fnl)
+    OutOfCoreZeldovich(p1, slab_bytes=1 << 15, pair=True).run()
+    p2 = make_params(tmp_path / "b", **fnl)
+    m = OutOfCoreZeldovich(p2, dtype="df64", slab_bytes=1 << 15)
+    assert not m.mixed and m.pair  # downgraded, not refused
+    m.run()
+    compare_outputs(p1, p2)
+
+
 def test_one_compile_per_shape(tmp_path):
     """y0 is a traced scalar: streaming N slabs compiles the kernel once.
 

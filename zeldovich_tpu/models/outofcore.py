@@ -592,10 +592,17 @@ class OutOfCoreZeldovich(Zeldovich):
         if self.mixed:
             dtype = jnp.float64
             pair = True
-            if param.f_NL != 0 or param.version == 1:
+            if param.version == 1:
                 raise NotImplementedError(
-                    "df64 out-of-core supports ZD_Version=2 without f_NL"
+                    "df64 requires ZD_Version=2; use --dtype float64 for v1"
                 )
+            if param.f_NL != 0:
+                # The f_NL input-phi pass is not Hermitian-exact, so the
+                # exact-primitive f32 draw chain does not apply; run the
+                # full-f64 pair kernels instead (same parity; Ozaki
+                # transforms on accelerators) -- mirrors the in-core
+                # fallback in pipeline.xspace_half_df64_sharded.
+                self.mixed = False
         super().__init__(param, dtype=dtype)
         self.backing = backing
         self.mesh = mesh
