@@ -148,17 +148,21 @@ def _roofline(ppd, narray, dt):
     wins are not modeled: this is an analytic estimate, stated as such.
 
     Peaks default to TPU v5e (197 bf16 Tflop/s, 819 GB/s HBM); "f32" MXU
-    matmuls at Precision.HIGHEST are 6-pass bf16, so the f32 roofline is
-    peak_bf16 / 6.  Override with BENCH_PEAK_BF16_TFLOPS / BENCH_HBM_GBS.
+    matmuls are multi-pass bf16, so the f32 roofline is peak_bf16 divided
+    by the pass count of the active ZT_FFT_PRECISION (highest=6, high=3,
+    default=1).  Override with BENCH_PEAK_BF16_TFLOPS / BENCH_HBM_GBS.
     """
     G = (ppd // 2 + 1) * ppd * ppd
     fields = 2 * narray
     flops = (2 * (3 * fields) + 4 * narray) * G * ppd * 2.0
     hbm_bytes = (32 + 2 * 64 + 64) * G  # synthesis + z + x + c2r
     peak_bf16 = float(os.environ.get("BENCH_PEAK_BF16_TFLOPS", "197")) * 1e12
-    peak_f32 = peak_bf16 / 6.0  # 6-pass bf16 = Precision.HIGHEST f32
+    prec = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
+    passes = {"highest": 6, "high": 3, "default": 1}[prec]
+    peak_f32 = peak_bf16 / passes
     peak_hbm = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
     return {
+        "fft_precision": prec,
         "model_tflops": round(flops / dt / 1e12, 2),
         "mxu_util_pct": round(100.0 * flops / dt / peak_f32, 1),
         "model_hbm_gbs": round(hbm_bytes / dt / 1e9, 1),
