@@ -74,8 +74,27 @@ def test_disk_backing(tmp_path):
     from zeldovich_tpu.utils.output import setup_output_dir
 
     setup_output_dir(p2)  # memmap file lives under the output dir
-    m.run(setup_dir=False)
+    stage = m.stage_pass1()
     assert (p2.output_path / "zeldovich.stage.mm").exists()
+    del stage
+    m.run(setup_dir=False)  # allocates + consumes its own stage
+    # quickdelete: a completed run reclaims the staged fabric
+    assert not (p2.output_path / "zeldovich.stage.mm").exists()
+    compare_outputs(p1, p2)
+
+
+def test_disk_backing_f_NL_drops_phi_stage(tmp_path):
+    """The phi fabric file is removed once pass 1 has consumed it."""
+    fnl = dict(ZD_f_NL=25.0, ZD_n_s=0.96, Omega_M=0.3)
+    p1 = make_params(tmp_path / "a", **fnl)
+    Zeldovich(p1).run()
+    p2 = make_params(tmp_path / "b", **fnl)
+    m = OutOfCoreZeldovich(p2, slab_bytes=1 << 16, backing="disk")
+    from zeldovich_tpu.utils.output import setup_output_dir
+
+    setup_output_dir(p2)
+    m.run(setup_dir=False)
+    assert not (p2.output_path / "zeldovich.phi.mm").exists()
     compare_outputs(p1, p2)
 
 

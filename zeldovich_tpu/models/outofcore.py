@@ -365,7 +365,12 @@ class DistributedOutOfCore:
         self._stream_land(
             items(), lambda y0, arr: self._land_yslab(stage, head, y0, arr)
         )
-        del phi_stage
+        if phi_stage is not None:
+            del phi_stage
+            if inner.backing == "disk":
+                (p.output_path / (
+                    f"zeldovich.phi.p{jax.process_index()}.mm"
+                )).unlink(missing_ok=True)
         return stage
 
     def _land_yslab(self, stage, head, y0, arr):
@@ -526,7 +531,8 @@ class DistributedOutOfCore:
             if jax.process_index() == 0:
                 setup_output_dir(p)
             barrier("ooc_output_dir")
-        if stage is None:
+        own_stage = stage is None
+        if own_stage:
             stage = self.stage_pass1()
         writer = OutputWriter(p, parallel=jax.process_count() > 1)
         aw = AsyncSlabWriter(writer)
@@ -561,6 +567,14 @@ class DistributedOutOfCore:
                 self._write_zshards(aw, *prev)
         finally:
             aw.close()
+        if own_stage and self.inner.backing == "disk":
+            # run completed: reclaim this process's staged shard (the
+            # reference's quickdelete, src/block_array.cpp:266); a crash
+            # keeps it as the resume point
+            del stage
+            (p.output_path / (
+                f"zeldovich.stage.p{jax.process_index()}.mm"
+            )).unlink(missing_ok=True)
         barrier("ooc_output_done")
         reduce_stats(writer)
         if jax.process_index() == 0:
@@ -802,14 +816,24 @@ class OutOfCoreZeldovich(Zeldovich):
                 yield y0, out
 
         _stream_to_host(items(), self._stage_y_sink(stage))
-        del phi_stage
+        self._drop_phi_stage(phi_stage)
         return stage
+
+    def _drop_phi_stage(self, phi_stage, name="zeldovich.phi"):
+        """Release the consumed phi fabric (and its disk file, if any) --
+        it is 1/narray of the main stage and must not survive the run."""
+        if phi_stage is None:
+            return
+        del phi_stage
+        if self.backing == "disk":
+            (self.param.output_path / f"{name}.mm").unlink(missing_ok=True)
 
     def run(self, setup_dir: bool = True, stage=None) -> OutputWriter:
         p = self.param
         if setup_dir:
             setup_output_dir(p)
-        if stage is None:
+        own_stage = stage is None
+        if own_stage:
             stage = self.stage_pass1()
         writer = OutputWriter(p)
         aw = AsyncSlabWriter(writer)
@@ -846,5 +870,12 @@ class OutOfCoreZeldovich(Zeldovich):
             _stream_to_host(items(), sink)
         finally:
             aw.close()
+        if own_stage and self.backing == "disk":
+            # the run completed: reclaim the staged fabric, like the
+            # reference's quickdelete of consumed block files
+            # (src/block_array.cpp:266).  A crash leaves it on disk as
+            # the resume point (--part 2 / stage=).
+            del stage
+            (p.output_path / "zeldovich.stage.mm").unlink(missing_ok=True)
         writer.report(self.Pk)
         return writer
