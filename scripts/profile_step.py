@@ -1,0 +1,97 @@
+"""Stage-level timing of the 512^3 half-spectrum step on the real chip.
+
+Times, fetch-bracketed (chain of N minus chain of 1, like bench.py):
+  synth     -- synthesize_half_pair only
+  synth+zx  -- synthesis + z and x transforms (no c2r y)
+  full      -- the whole fused step (bench.py's measurement)
+
+The deltas locate the time: transforms = full - synth; each stage's
+share guides optimization (at 512^3 the ZT_FFT_PRECISION ladder showed
+high vs highest moves the step only ~7 ms, so synthesis is the suspect).
+
+Usage: detached on the TPU --
+  setsid nohup python scripts/profile_step.py > runs/profile_step.log 2>&1 &
+Env: PROF_PPD (default 512), PROF_REPS (default 6).
+"""
+
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from functools import partial
+from pathlib import Path
+
+from zeldovich_tpu.models.pipeline import Zeldovich
+from zeldovich_tpu.utils.params import Parameters
+
+PPD = int(os.environ.get("PROF_PPD", "512"))
+REPS = int(os.environ.get("PROF_REPS", "6"))
+
+assets = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+param = Parameters.from_dict(
+    dict(
+        BoxSize=720.0,
+        NP=PPD**3,
+        CPD=PPD,
+        ICFormat="RVZel",
+        InitialConditionsDirectory="/tmp/prof_ic",
+        InitialRedshift=49.0,
+        ZD_Seed=12346,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.0210839935761,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(assets / "wmap1new.pow"),
+        ZD_Version=2,
+    )
+)
+model = Zeldovich(param, dtype=jnp.float32)
+cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+
+
+@partial(jax.jit, static_argnames=("stage",))
+def run(tables, pk_eff, stage: str):
+    from zeldovich_tpu.ops import mmfft
+    from zeldovich_tpu.ops.modes_real import synthesize_half_pair
+
+    spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
+    if stage == "synth":
+        return spm
+    re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(re, im, ax, +1)
+    if stage == "synth_zx":
+        return re + im  # force both live
+    return mmfft.c2r_y_pair(jnp.stack([re, im], axis=-4))
+
+
+def bracket(stage):
+    f = lambda: run(tables, pk_eff, stage)
+    out = f()
+    np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[:4]  # compile+warm
+    t0 = time.perf_counter()
+    out = f()
+    np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[:4]
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = f()
+    np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[:4]
+    t_chain = time.perf_counter() - t0
+    return max((t_chain - t_one) / (REPS - 1), 1e-9)
+
+
+res = {"ppd": PPD, "platform": jax.devices()[0].platform}
+for stage in ("synth", "synth_zx", "full"):
+    res[stage] = round(bracket(stage), 4)
+    print(json.dumps(res), flush=True)
+res["zx_ms"] = round((res["synth_zx"] - res["synth"]) * 1e3, 1)
+res["c2r_ms"] = round((res["full"] - res["synth_zx"]) * 1e3, 1)
+res["synth_ms"] = round(res["synth"] * 1e3, 1)
+print(json.dumps(res), flush=True)

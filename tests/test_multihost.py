@@ -220,8 +220,12 @@ def test_distributed_outofcore_f_NL_matches_single(tmp_path):
     par = tmp_path / "mh.par"
     write_par(par, mh_dir, **fnl)
     port = _free_port()
+    # disk backing: also exercises the per-process stage/phi memmap files
     procs = [
-        _spawn_cli(par, 4, i, port, extra=("--out-of-core", "--slab-mb", "0"))
+        _spawn_cli(
+            par, 4, i, port,
+            extra=("--out-of-core", "--slab-mb", "0", "--backing", "disk"),
+        )
         for i in range(4)
     ]
     outs = [p.communicate(timeout=600) for p in procs]
@@ -231,6 +235,8 @@ def test_distributed_outofcore_f_NL_matches_single(tmp_path):
     assert got.keys() == ref.keys()
     for name in ref:
         assert got[name] == ref[name], f"{name} differs"
+    # quickdelete: completed runs reclaim every staged memmap shard
+    assert not list(mh_dir.glob("*.mm")), list(mh_dir.glob("*.mm"))
 
 
 def test_distributed_plt_matches_single(tmp_path):
