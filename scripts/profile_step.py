@@ -16,7 +16,11 @@ Env: PROF_PPD (default 512), PROF_REPS (default 6).
 
 import json
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
@@ -24,7 +28,6 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 from functools import partial
-from pathlib import Path
 
 from zeldovich_tpu.models.pipeline import Zeldovich
 from zeldovich_tpu.utils.params import Parameters
@@ -60,6 +63,16 @@ def run(tables, pk_eff, stage: str):
     from zeldovich_tpu.ops import mmfft
     from zeldovich_tpu.ops.modes_real import synthesize_half_pair
 
+    if stage == "draws":
+        # the fused Pallas draw chain alone: what synthesis costs before
+        # the XLA-side field math + pm-packing
+        from zeldovich_tpu.ops.pallas_synth import halfspace_boxmuller_pallas
+
+        D_re, D_im = halfspace_boxmuller_pallas(
+            tables.planes, tables.mzx, tables.czx, pk_eff, None,
+            fixed_power=cfg.fixed_power,
+        )
+        return D_re + D_im
     spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
     if stage == "synth":
         return spm
@@ -71,26 +84,35 @@ def run(tables, pk_eff, stage: str):
     return mmfft.c2r_y_pair(jnp.stack([re, im], axis=-4))
 
 
+def fetch_probe(out):
+    # fetch a FEW ELEMENTS via a device-side slice: a full-array fetch
+    # through the remote tunnel (~40 MB/s) would swamp the step time
+    # with fetch-bandwidth variance
+    leaf = jax.tree.leaves(out)[0]
+    idx = (0,) * (leaf.ndim - 1) + (slice(0, 4),)
+    return np.asarray(leaf[idx])
+
+
 def bracket(stage):
     f = lambda: run(tables, pk_eff, stage)
-    out = f()
-    np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[:4]  # compile+warm
+    fetch_probe(f())  # compile+warm
     t0 = time.perf_counter()
-    out = f()
-    np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[:4]
+    fetch_probe(f())
     t_one = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = f()
-    np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[:4]
+    fetch_probe(out)
     t_chain = time.perf_counter() - t0
     return max((t_chain - t_one) / (REPS - 1), 1e-9)
 
 
 res = {"ppd": PPD, "platform": jax.devices()[0].platform}
-for stage in ("synth", "synth_zx", "full"):
+for stage in ("draws", "synth", "synth_zx", "full"):
     res[stage] = round(bracket(stage), 4)
     print(json.dumps(res), flush=True)
+res["draws_ms"] = round(res["draws"] * 1e3, 1)
+res["pack_ms"] = round((res["synth"] - res["draws"]) * 1e3, 1)
 res["zx_ms"] = round((res["synth_zx"] - res["synth"]) * 1e3, 1)
 res["c2r_ms"] = round((res["full"] - res["synth_zx"]) * 1e3, 1)
 res["synth_ms"] = round(res["synth"] * 1e3, 1)

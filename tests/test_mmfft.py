@@ -73,6 +73,36 @@ def test_four_step_path():
     np.testing.assert_allclose(got, want, atol=1e-9 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("axis", [0, 1, 2, 3, -2, -3, -4])
+def test_cfft_axis_matches_numpy(axis):
+    """Middle-axis transforms (the in-place einsum contraction path)."""
+    rng = np.random.default_rng(6)
+    z = rng.normal(size=(4, 6, 8, 5)) + 1j * rng.normal(size=(4, 6, 8, 5))
+    n = z.shape[axis]
+    for sign in (+1, -1):
+        re, im = mmfft.cfft_axis(
+            jnp.asarray(z.real), jnp.asarray(z.imag), axis, sign
+        )
+        got = np.asarray(re) + 1j * np.asarray(im)
+        want = np.fft.ifft(z, axis=axis) * n if sign == +1 else np.fft.fft(z, axis=axis)
+        np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+
+def test_cfft_axis_four_step_middle():
+    """A > DENSE_MAX middle axis falls back through cfft_last correctly."""
+    rng = np.random.default_rng(7)
+    old = mmfft.DENSE_MAX
+    try:
+        mmfft.DENSE_MAX = 8
+        z = rng.normal(size=(3, 16, 4)) + 1j * rng.normal(size=(3, 16, 4))
+        re, im = mmfft.cfft_axis(jnp.asarray(z.real), jnp.asarray(z.imag), 1, -1)
+    finally:
+        mmfft.DENSE_MAX = old
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = np.fft.fft(z, axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+
 def test_dense_vs_four_step_agree():
     n = 64
     rng = np.random.default_rng(5)

@@ -346,8 +346,44 @@ def ifft3_half_df64(spm):
     return jnp.stack([_pair_to_f64(out_re), _pair_to_f64(out_im)], axis=-4)
 
 
+def _cmatmul_axis(ar, ai, wr, wi, axis: int, precision):
+    """Complex DFT contraction over data axis ``axis`` with no transposes.
+
+    Gauss 3-multiplication form with both matrix-side combines on the
+    (tiny) DFT matrix; the single data-side combine (ar + ai) is the only
+    extra full-array pass.  einsum contracts the target axis in place:
+    the moveaxis round trip of the last-axis form costs 4 extra
+    full-array HBM passes per axis (~10 ms at 512^3 on a v5e, where the
+    transforms are HBM-bound, not MXU-bound -- see the ZT_FFT_PRECISION
+    ladder: 3-pass matmuls move the step only ~5%).
+    """
+    nd = ar.ndim
+    ax = axis % nd
+    tail = "abcdefg"[: nd - 1 - ax]  # axes minor of the contraction
+    sub = f"kj,...j{tail}->...k{tail}"
+    es = partial(jnp.einsum, sub, precision=precision)
+    k1 = es(wr, ar + ai)
+    k2 = es(wi - wr, ar)
+    k3 = es(wr + wi, ai)
+    # re = wr@ar - wi@ai;  im = wr@ai + wi@ar  (Gauss: k1 -/+ k3/k2)
+    return k1 - k3, k1 + k2
+
+
 def cfft_axis(re, im, axis: int, sign: int, precision=None):
-    """Complex DFT along ``axis`` (moveaxis wrapper over cfft_last)."""
+    """Complex DFT along ``axis``.
+
+    Dense sizes contract the axis in place (_cmatmul_axis, no layout
+    copies); the last axis and four-step sizes go through cfft_last.
+    """
+    n = re.shape[axis]
+    if (
+        axis % re.ndim != re.ndim - 1
+        and not ozaki.use_ozaki(re.dtype)
+        and (_factor(n)[0] == 1 or n <= DENSE_MAX)
+    ):
+        precision = _resolve_precision(precision)
+        wr, wi = (jnp.asarray(m) for m in _dft_mats(n, sign, re.dtype))
+        return _cmatmul_axis(re, im, wr, wi, axis, precision)
     re = jnp.moveaxis(re, axis, -1)
     im = jnp.moveaxis(im, axis, -1)
     re, im = cfft_last(re, im, sign, precision)

@@ -43,7 +43,7 @@ from ..ops import mmfft
 from ..ops.modes import synthesize
 from ..ops.modes_real import synthesize_pair
 from ..utils.cache import BoundedCache
-from .pencil_mmfft import _AX, _cfft_last_pair, _flat_index
+from .pencil_mmfft import _AX, _cfft_axis_pair, _cfft_last_pair, _flat_index
 
 _CACHE = BoundedCache()
 
@@ -153,9 +153,7 @@ def synth_ifft_zx_sharded(
                     phi_pair=phi_blocks,
                 )
                 b = jnp.swapaxes(k, 0, 1)  # (2, narray, ny, Z, Xp)
-                b = jnp.moveaxis(
-                    _cfft_last_pair(jnp.moveaxis(b, -2, -1), +1), -1, -2
-                )  # z local
+                b = _cfft_axis_pair(b, -2, +1)  # z local
                 b = _transform_x_pair(b, +1)
                 return jnp.swapaxes(b, 0, 1)
             k = synthesize(
@@ -203,14 +201,10 @@ def fwd_y_phi_nl_sharded(zslab, f_NL, inv_n3, mesh: Mesh, pair: bool):
             def kernel(b, f_NL, inv_n3):
                 b = jnp.swapaxes(b, 0, 1)  # (2, 1, Y, Bzl, Xp)
                 # sign +1 == the FFTW unnormalized inverse: no 1/N, no xN
-                b = jnp.moveaxis(
-                    _cfft_last_pair(jnp.moveaxis(b, -3, -1), +1), -1, -3
-                )
+                b = _cfft_axis_pair(b, -3, +1)
                 phi_x = (b[0] + f_NL * b[0] * b[0]) * inv_n3
                 b = jnp.stack([phi_x, jnp.zeros_like(phi_x)])
-                b = jnp.moveaxis(
-                    _cfft_last_pair(jnp.moveaxis(b, -3, -1), -1), -1, -3
-                )
+                b = _cfft_axis_pair(b, -3, -1)
                 return jnp.swapaxes(b, 0, 1)
 
         else:
@@ -241,9 +235,7 @@ def fwd_zx_sharded(yslab, mesh: Mesh, pair: bool):
 
             def kernel(b):
                 b = jnp.swapaxes(b, 0, 1)
-                b = jnp.moveaxis(
-                    _cfft_last_pair(jnp.moveaxis(b, -2, -1), -1), -1, -2
-                )  # z local
+                b = _cfft_axis_pair(b, -2, -1)  # z local
                 b = _transform_x_pair(b, -1)
                 return jnp.swapaxes(b, 0, 1)
 
@@ -312,9 +304,7 @@ def ifft_y_sharded(
 
             def kernel(b):
                 b = jnp.swapaxes(b, 0, 1)  # (2, A, Y, Bz, Xp)
-                b = jnp.moveaxis(
-                    _cfft_last_pair(jnp.moveaxis(b, -3, -1), +1), -1, -3
-                )
+                b = _cfft_axis_pair(b, -3, +1)
                 if zplanes:
                     b = jax.lax.all_to_all(
                         b, _AX, split_axis=b.ndim - 2,

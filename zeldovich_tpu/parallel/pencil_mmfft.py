@@ -26,6 +26,14 @@ def _cfft_last_pair(block, sign):
     return jnp.stack([re, im])
 
 
+def _cfft_axis_pair(block, axis, sign):
+    """In-place axis contraction (mmfft.cfft_axis): no moveaxis copies,
+    and the same FP expression as the in-core path -- cross-mode byte
+    equality requires every mode to transform with the identical form."""
+    re, im = mmfft.cfft_axis(block[0], block[1], axis, sign)
+    return jnp.stack([re, im])
+
+
 def _transform_axis_pair(block, axis_name, axis, sign):
     """Pair transform along a sharded axis, borrowing locality from X.
 
@@ -36,9 +44,7 @@ def _transform_axis_pair(block, axis_name, axis, sign):
         block, axis_name, split_axis=block.ndim - 1,
         concat_axis=block.ndim + axis, tiled=True,
     )
-    moved = jnp.moveaxis(full, axis, -1)
-    moved = _cfft_last_pair(moved, sign)
-    full = jnp.moveaxis(moved, -1, axis)
+    full = _cfft_axis_pair(full, axis, sign)
     return jax.lax.all_to_all(
         full, axis_name, split_axis=block.ndim + axis,
         concat_axis=block.ndim - 1, tiled=True,
@@ -65,12 +71,10 @@ def _pencil_3d_final_pair(block, sign):
     block = _cfft_last_pair(block, sign)
     b = jax.lax.all_to_all(block, "y", split_axis=nd - 1, concat_axis=nd - 3,
                            tiled=True)
-    moved = jnp.moveaxis(b, -3, -1)
-    b = jnp.moveaxis(_cfft_last_pair(moved, sign), -1, -3)
+    b = _cfft_axis_pair(b, -3, sign)
     b = jax.lax.all_to_all(b, "z", split_axis=nd - 1, concat_axis=nd - 2,
                            tiled=True)
-    moved = jnp.moveaxis(b, -2, -1)
-    return jnp.moveaxis(_cfft_last_pair(moved, sign), -1, -2)
+    return _cfft_axis_pair(b, -2, sign)
 
 
 def ifft3_pair_sharded_final(gpair, mesh: Mesh):
