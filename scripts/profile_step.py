@@ -73,6 +73,14 @@ def run(tables, pk_eff, stage: str):
             fixed_power=cfg.fixed_power,
         )
         return D_re + D_im
+    if stage == "synthraw":
+        # the fused pack kernel alone, no ky0 fixup: isolates the fix cost
+        from zeldovich_tpu.ops.pallas_synth import halfspace_pack_pallas
+
+        return halfspace_pack_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+        )
     spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
     if stage == "synth":
         return spm
@@ -108,7 +116,7 @@ def bracket(stage):
 
 
 res = {"ppd": PPD, "platform": jax.devices()[0].platform}
-for stage in ("draws", "synth", "synth_zx", "full"):
+for stage in ("draws", "synthraw", "synth", "synth_zx", "full"):
     res[stage] = round(bracket(stage), 4)
     print(json.dumps(res), flush=True)
 res["draws_ms"] = round(res["draws"] * 1e3, 1)

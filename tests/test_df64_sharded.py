@@ -90,6 +90,7 @@ def test_df64_sharded_matches_incore_tight():
     assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
 
 
+@pytest.mark.slow
 def test_df64_sharded_zplanes_layout():
     param = make_params(ppd=16)
     mesh = make_mesh(mesh_shape=(4, 2))

@@ -75,3 +75,113 @@ def test_integer_chain_bit_exact():
     np.testing.assert_array_equal(
         np.asarray(got_im), np.asarray(amp * jnp.sin(theta))
     )
+
+
+# -- fused synth+pack kernel vs the D-kernel + XLA pack route ---------------
+
+from pathlib import Path
+
+from zeldovich_tpu.models.pipeline import Zeldovich
+from zeldovich_tpu.ops.modes_real import (
+    _fix_ky0_packed,
+    _pack_fix_pad,
+    _raw_fields_pair,
+)
+from zeldovich_tpu.ops.pallas_synth import halfspace_pack_pallas
+from zeldovich_tpu.utils.params import Parameters
+
+ASSETS = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+
+
+def _model(ppd=16, **over):
+    d = dict(
+        BoxSize=100.0,
+        NP=ppd**3,
+        CPD=100,
+        ICFormat="RVZel",
+        InitialConditionsDirectory="/tmp/ic_packk",
+        InitialRedshift=49.0,
+        ZD_Seed=97531,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.02,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(ASSETS / "wmap1new.pow"),
+        ZD_Version=2,
+    )
+    d.update(over)
+    return Zeldovich(Parameters.from_dict(d), dtype=jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {},
+        {"ZD_qPk_fix_to_mean": 1},
+        {"ZD_qdensity": 2},
+        {"ZD_k_cutoff": 2.0},
+    ],
+    ids=["plain", "fixed_power", "density_only", "k_cutoff"],
+)
+def test_pack_kernel_bit_equals_xla_pack(over):
+    model = _model(**over)
+    cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+    half = cfg.ppd // 2
+
+    got = _fix_ky0_packed(
+        halfspace_pack_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+            interpret=True,
+        ),
+        half,
+    )
+
+    y = jnp.arange(half)[:, None, None]
+    z = jnp.arange(cfg.ppd)[None, :, None]
+    x = jnp.arange(cfg.ppd)[None, None, :]
+    D, F, G, H, _ = _raw_fields_pair(
+        y, z, x, cfg, tables, jnp.float32, identity_grid=True, pk_eff=pk_eff
+    )
+    if cfg.just_density:
+        zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+        want = _pack_fix_pad(D, zero2, half)[None]
+        # no field math: the draw chain is multiply-only, so the kernel
+        # is bit-exact vs the XLA pack
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        return
+    want = jnp.stack(
+        [_pack_fix_pad(D, F, half), _pack_fix_pad(G, H, half)]
+    )
+    got, want = np.asarray(got), np.asarray(want)
+    # the a - b*c packing shapes contract to FMAs differently between the
+    # kernel and the XLA pack graph: ~1-2 ulp input noise, amplified by
+    # cancellation -- bounded in ABSOLUTE scale
+    np.testing.assert_allclose(got, want, atol=1e-7 * np.abs(want).max())
+    # structural exactness survives: the appended y-Nyquist row is +0.0
+    # bytes and zero-ruled modes are exactly zero
+    nyq = got[:, :, :, half]
+    assert nyq.tobytes() == b"\x00" * nyq.nbytes
+    np.testing.assert_array_equal(got == 0.0, want == 0.0)
+
+
+def test_pack_kernel_through_transforms():
+    """The fused kernel's packed spectrum drives the half-spectrum inverse
+    transform to the same x-space as the complex full-grid path (the
+    TPU-route equivalent of the pipeline's kspace_half_pair)."""
+    model = _model(ppd=16)
+    cfg, tables = model.cfg, model.tables
+    spm = _fix_ky0_packed(
+        halfspace_pack_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, model.pk_eff,
+            interpret=True,
+        ),
+        cfg.ppd // 2,
+    )
+    assert spm.shape == (2, 2, 2, 9, 16, 16)
+    from zeldovich_tpu.ops import mmfft
+
+    got = np.asarray(mmfft.ifft3_half_pair(spm))
+    want = np.asarray(model.xspace_pair())
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())

@@ -210,7 +210,12 @@ def test_f_NL_matches_emulator(tmp_path):
 
 
 @pytest.mark.parametrize(
-    "flags", [[], ["--sharded", "--pair"], ["--out-of-core"]]
+    "flags",
+    [
+        [],
+        pytest.param(["--sharded", "--pair"], marks=pytest.mark.slow),
+        ["--out-of-core"],
+    ],
 )
 def test_part1_part2_checkpoint(tmp_path, flags):
     from zeldovich_tpu.cli import main

@@ -68,6 +68,7 @@ def test_reflected():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_sharded_synthesis_matches_single():
     from zeldovich_tpu.ops.modes import synthesize_slab
 
@@ -83,6 +84,7 @@ def test_sharded_synthesis_matches_single():
     np.testing.assert_allclose(got, fast, atol=2e-15 * np.abs(fast).max(), rtol=0)
 
 
+@pytest.mark.slow
 def test_sharded_end_to_end_matches_single():
     param = make_params(ppd=16)
     model = Zeldovich(param)
@@ -92,6 +94,7 @@ def test_sharded_end_to_end_matches_single():
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
 
 
+@pytest.mark.slow
 def test_sharded_f_NL_matches_single():
     param = make_params(ppd=16, ZD_f_NL=30.0, ZD_n_s=0.96, Omega_M=0.3)
     model = Zeldovich(param)
@@ -122,6 +125,7 @@ def test_jit_end_to_end_sharded_compiles_once():
     )
 
 
+@pytest.mark.slow
 def test_sharded_pair_matches_single():
     """Complex-free sharded path == complex single-device path."""
     param = make_params(ppd=16)
@@ -135,6 +139,7 @@ def test_sharded_pair_matches_single():
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
 
 
+@pytest.mark.slow
 def test_sharded_pair_f_NL():
     param = make_params(ppd=16, ZD_f_NL=30.0, ZD_n_s=0.96, Omega_M=0.3)
     import jax.numpy as jnp
@@ -147,6 +152,7 @@ def test_sharded_pair_f_NL():
     np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
 
 
+@pytest.mark.slow
 def test_sharded_plt_matches_single():
     """PLT eigenmode gathers (tables.eig) inside shard_map."""
     param = make_params(
@@ -169,6 +175,7 @@ def test_sharded_plt_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_sharded_qdensity2_matches_single():
     param = make_params(ppd=16, ZD_qdensity=2)
     model = Zeldovich(param)
@@ -179,6 +186,7 @@ def test_sharded_qdensity2_matches_single():
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
 
 
+@pytest.mark.slow
 def test_sharded_k_cutoff_matches_single():
     param = make_params(ppd=16, ZD_k_cutoff=2.0)
     model = Zeldovich(param)
@@ -188,6 +196,7 @@ def test_sharded_k_cutoff_matches_single():
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
 
 
+@pytest.mark.slow
 def test_sharded_qoneslab_output(tmp_path):
     """qoneslab through the sharded compute + streamed output."""
     from zeldovich_tpu.utils.output import OutputWriter, setup_output_dir

@@ -388,6 +388,57 @@ def _pack_fix_pad(Dp, Fp, half):
     return jnp.pad(out, pad)
 
 
+def _fix_ky0_packed(out, half):
+    """Self-conjugate ky=0 fixup applied to the packed kernel output.
+
+    Bit-equal to _pack_fix_pad's fixed0 (same expressions, reading the
+    raw sp/sm planes the fused kernel wrote); touches only the 8 ky=0
+    component planes of the (narray, 2, 2, half+1, Z, X) array.
+    """
+    ppd = out.shape[-1]
+    z = jnp.arange(ppd)[:, None]
+    x = jnp.arange(ppd)[None, :]
+    fixm = (z > half) | ((z == 0) & (x > half))
+    orig = (z == 0) & (x == 0)
+    sp_re, sp_im = out[:, 0, 0, 0], out[:, 0, 1, 0]
+    sm_re, sm_im = out[:, 1, 0, 0], out[:, 1, 1, 0]
+
+    def fixed0(a_re, a_im, o_re, o_im):
+        p_re = jnp.where(fixm, _reflect_zx(o_re), a_re)
+        p_im = jnp.where(fixm, -_reflect_zx(o_im), a_im)
+        zero = jnp.zeros((), out.dtype)
+        return jnp.where(orig, zero, p_re), jnp.where(orig, zero, p_im)
+
+    spf = fixed0(sp_re, sp_im, sm_re, sm_im)
+    smf = fixed0(sm_re, sm_im, sp_re, sp_im)
+    out = out.at[:, 0, 0, 0].set(spf[0])
+    out = out.at[:, 0, 1, 0].set(spf[1])
+    out = out.at[:, 1, 0, 0].set(smf[0])
+    out = out.at[:, 1, 1, 0].set(smf[1])
+    return out
+
+
+def _use_pallas_pack(cfg, tables, dtype, pk_eff) -> bool:
+    """Gate for the fully fused synth+pack kernel (ops/pallas_synth).
+
+    TPU-only: the packing math has a-b*c shapes whose FMA contraction
+    differs between the kernel and the XLA pack graph (~1-2 ulp,
+    amplified by cancellation to ~2e-9 absolute at 16^3 -- far below the
+    f32 path's 8.8e-6 documented displacement error, but enough to break
+    the CPU byte-equality invariants the test suite pins, so CPU keeps
+    the D-kernel + XLA pack).  Non-PLT only (the eigenmode gather keeps
+    the XLA pack path).  ZT_NO_PALLAS_PACK falls back for A/B runs.
+    """
+    return (
+        _use_pallas(dtype)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("ZT_NO_PALLAS_PACK")
+        and tables.mzx is not None
+        and pk_eff is not None
+        and not cfg.qPLT
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "dtype", "accurate"))
 def synthesize_half_pair(
     cfg: SynthConfig,
@@ -410,6 +461,16 @@ def synthesize_half_pair(
     """
     ppd = cfg.ppd
     half = ppd // 2
+
+    if not accurate and _use_pallas_pack(cfg, tables, dtype, pk_eff):
+        from .pallas_synth import halfspace_pack_pallas
+
+        out = halfspace_pack_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+        )
+        return _fix_ky0_packed(out, half)
+
     y = jnp.arange(half)[:, None, None]
     z = jnp.arange(ppd)[None, :, None]
     x = jnp.arange(ppd)[None, None, :]

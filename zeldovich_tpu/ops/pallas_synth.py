@@ -306,6 +306,139 @@ def _grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
     im_ref[0] = im
 
 
+# ---------------------------------------------------------------------------
+# Fully packed kernel: draw chain + displacement fields + pm-packing fused,
+# writing the half-SPECTRUM layout (narray*4, half+1, Z, X) directly.  The
+# XLA pack stage it replaces (field math + _pack_fix_pad's pad/stack copies)
+# measured 27 ms of the 47 ms synthesis at 512^3 on a v5e -- pure HBM
+# traffic this kernel never emits.  Non-PLT only (the PLT eigenmode gather
+# keeps the XLA pack path); the ky=0 self-conjugate fixup stays in XLA
+# (it touches one plane and needs the full-Z reflection).
+# ---------------------------------------------------------------------------
+
+
+def _pack_grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
+                      out_ref, *, fixed_power, fdt, fund, half, ppd, zb,
+                      just_density):
+    y = pl.program_id(0)
+    zi = pl.program_id(1)
+
+    @pl.when(y >= half)
+    def _():
+        # the appended y-Nyquist row: exact +0.0 (matches jnp.pad)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(y < half)
+    def _():
+        m = (m0[...], m1[...], m2[...], m3[...])
+        c = (c0[...], c1[...], c2[...], c3[...])
+        plane = tuple(plane_ref[y, j] for j in range(4))
+        s = _madd128(m, tuple(jnp.full_like(m[0], p) for p in plane), c)
+        # zeroing folded into pk (sqrt(-0*log R) == 0), like the D kernel
+        D_re, D_im = _draw_chain(*s, pk_ref[0], fdt(1.0), fixed_power, fdt)
+
+        shape = D_re.shape  # (zb, X)
+        zg = zi * zb + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kz = jnp.where(zg > half, zg - ppd, zg)
+        kx = jnp.where(xg > half, xg - ppd, xg)
+        ky = y  # scalar
+
+        def pack_into(j, Dp, Fp):
+            # _pack_fix_pad's packing arithmetic, verbatim
+            out_ref[j + 0, 0] = Dp[0] - Fp[1]
+            out_ref[j + 1, 0] = Dp[1] + Fp[0]
+            out_ref[j + 2, 0] = Dp[0] + Fp[1]
+            out_ref[j + 3, 0] = Dp[1] - Fp[0]
+
+        if just_density:
+            zero = jnp.zeros(shape, fdt)
+            pack_into(0, (D_re, D_im), (zero, zero))
+            return
+
+        # _finish_fields' expressions, verbatim (non-PLT: rescale = f = 1)
+        n2 = kx * kx + ky * ky + kz * kz
+        k2 = n2.astype(fdt) * fdt(fund) ** 2
+        ik2 = jnp.where(
+            n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
+        )
+        scale = fdt(1.0) * fdt(fund) * ik2
+        cx = kx.astype(fdt) * scale
+        cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
+        cz = kz.astype(fdt) * scale
+        F = (-cx * D_im, cx * D_re)
+        G = (-cy * D_im, cy * D_re)
+        H = (-cz * D_im, cz * D_re)
+        pack_into(0, (D_re, D_im), F)  # A = D + iF
+        pack_into(4, G, H)             # B = G + iH
+
+
+@partial(jax.jit, static_argnames=("cfg", "fixed_power", "just_density",
+                                   "interpret"))
+def halfspace_pack_pallas(
+    cfg, planes, mzx, czx, pk, fixed_power=False, just_density=False,
+    interpret=None,
+):
+    """Packed half-spectrum synthesis, fully fused on-chip.
+
+    planes: tuple of 4 (half,) u32 per-y-plane state limbs
+    mzx, czx: tuples of 4 (Z, X) u32 precomposed jump-table limbs
+    pk: (half, Z, X) float -- pk_effective (zero rules folded in)
+    Returns (narray, 2, 2, half+1, Z, X) with the ky=0 plane RAW (the
+    caller applies the self-conjugate fixup) and the Nyquist row zero.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    fdt = pk.dtype.type
+    half, Z, X = pk.shape
+    narray = 1 if just_density else 2
+    planes = jnp.stack(list(planes), axis=-1)  # (half, 4)
+
+    nj = narray * 4
+    zb = Z
+    while zb > 8 and nj * zb * X * 4 > 2 << 20:
+        zb //= 2
+    while Z % zb:
+        zb -= 1
+    grid = (half + 1, Z // zb)
+
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    hm1 = half - 1
+    # clamp: the y == half (zero-row) program must not prefetch past pk
+    pkspec = pl.BlockSpec(
+        (1, zb, X),
+        lambda y, z: (jnp.minimum(i32(y), i32(hm1)), i32(z), i32(0)),
+    )
+    mspec = pl.BlockSpec((zb, X), lambda y, z: (i32(z), i32(0)))
+    pspec = pl.BlockSpec(
+        planes.shape,
+        lambda y, z: (i32(0), i32(0)),
+        memory_space=pltpu.SMEM,
+    )
+    ospec = pl.BlockSpec(
+        (nj, 1, zb, X), lambda y, z: (i32(0), i32(y), i32(z), i32(0))
+    )
+
+    out = pl.pallas_call(
+        partial(
+            _pack_grid_kernel,
+            fixed_power=fixed_power,
+            fdt=fdt,
+            fund=cfg.fundamental,
+            half=half,
+            ppd=cfg.ppd,
+            zb=zb,
+            just_density=just_density,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nj, half + 1, Z, X), pk.dtype),
+        grid=grid,
+        in_specs=[pspec] + [mspec] * 8 + [pkspec],
+        out_specs=ospec,
+        interpret=interpret,
+    )(planes, *mzx, *czx, pk)
+    return out.reshape(narray, 2, 2, half + 1, Z, X)
+
+
 @partial(jax.jit, static_argnames=("fixed_power", "interpret"))
 def halfspace_boxmuller_pallas(
     planes, mzx, czx, pk, live=None, fixed_power=False, interpret=None
