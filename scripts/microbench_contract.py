@@ -130,6 +130,21 @@ def bracket(f, *args):
     return max((t_chain - t_one) / (REPS - 1), 1e-9)
 
 
+@partial(jax.jit, static_argnames=("prec",))
+def zx_prec(P, W, prec):
+    z = jnp.einsum("kj,bjx->bkx", W, P, precision=prec)
+    return jnp.matmul(z, W.T, precision=prec)
+
+
+@partial(jax.jit, static_argnames=("prec",))
+def c2r_prec(D, C, prec):
+    return jnp.einsum("yk,akzx->ayzx", C, D, precision=prec)
+
+
+HI = jax.lax.Precision.HIGHEST
+HIGH = jax.lax.Precision.HIGH
+DEF = jax.lax.Precision.DEFAULT
+
 res = {"n": N, "platform": jax.devices()[0].platform}
 cases = [
     ("c2r_einsum", c2r_einsum, (D, C)),
@@ -139,8 +154,16 @@ cases = [
     ("zx_inplace", zx_inplace, (P, W)),
     ("zx_moveaxis", zx_moveaxis, (P, W)),
     ("zx_pallas", zx_pallas, (P, W)),
+    # precision ladder on the same contraction: is the matmul pass-bound?
+    ("zx_high", partial(zx_prec, prec=HIGH), (P, W)),
+    ("zx_default", partial(zx_prec, prec=DEF), (P, W)),
+    ("c2r_high", partial(c2r_prec, prec=HIGH), (D, C)),
+    ("c2r_default", partial(c2r_prec, prec=DEF), (D, C)),
 ]
+only = os.environ.get("MB_ONLY", "")
 for name, f, args in cases:
+    if only and not any(s in name for s in only.split(",")):
+        continue
     try:
         res[name + "_ms"] = round(bracket(f, *args) * 1e3, 2)
     except Exception as e:  # pragma: no cover - probe tool

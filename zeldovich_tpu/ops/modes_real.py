@@ -411,11 +411,13 @@ def _fix_ky0_packed(out, half):
 
     spf = fixed0(sp_re, sp_im, sm_re, sm_im)
     smf = fixed0(sm_re, sm_im, sp_re, sp_im)
-    out = out.at[:, 0, 0, 0].set(spf[0])
-    out = out.at[:, 0, 1, 0].set(spf[1])
-    out = out.at[:, 1, 0, 0].set(smf[0])
-    out = out.at[:, 1, 1, 0].set(smf[1])
-    return out
+    # ONE contiguous dynamic-update-slice: per-component .at[].set chains
+    # each round-trip the whole 2+ GB array (measured 9.4 ms of the
+    # 30.5 ms synthesis at 512^3)
+    row0 = jnp.stack(
+        [jnp.stack(spf, axis=1), jnp.stack(smf, axis=1)], axis=1
+    )  # (narray, pm, reim, Z, X)
+    return out.at[:, :, :, 0:1].set(row0[:, :, :, None])
 
 
 def _use_pallas_pack(cfg, tables, dtype, pk_eff) -> bool:
