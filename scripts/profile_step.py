@@ -84,6 +84,17 @@ def run(tables, pk_eff, stage: str):
     spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
     if stage == "synth":
         return spm
+    if stage == "full":
+        # the product step: routes through the folded Pallas zx kernel on
+        # TPU (use_zx_folded) exactly like _half_pair_forward
+        return mmfft.ifft3_half_pair(spm)
+    from zeldovich_tpu.ops.pallas_fft import use_zx_folded, zx_folded_pallas
+
+    if use_zx_folded(spm.dtype, spm.shape[-1]):
+        g = zx_folded_pallas(spm, +1)
+        if stage == "synth_zx":
+            return g
+        return mmfft.c2r_y_pair(g)
     re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
     for ax in (-2, -1):
         re, im = mmfft.cfft_axis(re, im, ax, +1)

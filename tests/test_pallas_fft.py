@@ -1,0 +1,95 @@
+"""Folded dense-DFT Pallas kernel vs the XLA matmul forms (interpret)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zeldovich_tpu.ops import mmfft
+from zeldovich_tpu.ops.pallas_fft import zx_folded_pallas
+
+
+@pytest.mark.parametrize("n", [16, 32, 64])
+@pytest.mark.parametrize("sign", [+1, -1])
+def test_folded_matches_numpy(n, sign):
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(3, 4, n, n)) + 1j * rng.normal(size=(3, 4, n, n))
+    spm = jnp.stack(
+        [jnp.asarray(z.real, jnp.float32), jnp.asarray(z.imag, jnp.float32)],
+        axis=1,
+    )  # (3, 2, 4, n, n)
+    got = np.asarray(zx_folded_pallas(spm, sign=sign, interpret=True))
+    want = np.fft.ifft2(z) * n * n if sign == +1 else np.fft.fft2(z)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got[:, 0], want.real, atol=4e-7 * scale)
+    np.testing.assert_allclose(got[:, 1], want.imag, atol=4e-7 * scale)
+
+
+def test_folded_matches_xla_form():
+    """Same transform as the cfft_axis route, at f32 accuracy."""
+    rng = np.random.default_rng(1)
+    n, k = 32, 5
+    spm = jnp.asarray(
+        rng.normal(size=(2, 2, 2, k, n, n)), jnp.float32
+    )  # the half-spectrum layout (narray, pm, reim, ky, Z, X)
+    got = np.asarray(zx_folded_pallas(spm, +1, interpret=True))
+    re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(re, im, ax, +1)
+    want = np.asarray(jnp.stack([re, im], axis=-4))
+    np.testing.assert_allclose(got, want, atol=4e-7 * np.abs(want).max())
+
+
+def test_half_pipeline_with_folded_kernel():
+    """ifft3_half_pair with the folded kernel forced on equals the XLA
+    route at f32 accuracy (the TPU gating path, exercised in interpret)."""
+    from pathlib import Path
+
+    from zeldovich_tpu.models.pipeline import Zeldovich
+    from zeldovich_tpu.ops.modes_real import synthesize_half_pair
+    from zeldovich_tpu.utils.params import Parameters
+
+    assets = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+    param = Parameters.from_dict(
+        dict(
+            BoxSize=100.0,
+            NP=16**3,
+            CPD=100,
+            ICFormat="RVZel",
+            InitialConditionsDirectory="/tmp/ic_fold",
+            InitialRedshift=49.0,
+            ZD_Seed=4242,
+            ZD_NumBlock=2,
+            ZD_Pk_scale=1.0,
+            ZD_Pk_norm=8.0,
+            ZD_Pk_sigma=0.02,
+            ZD_Pk_smooth=0.0,
+            ZD_Pk_filename=str(assets / "wmap1new.pow"),
+            ZD_Version=2,
+        )
+    )
+    model = Zeldovich(param, dtype=jnp.float32)
+    spm = synthesize_half_pair(
+        model.cfg, model.tables, dtype=jnp.float32, pk_eff=model.pk_eff
+    )
+    got = np.asarray(
+        mmfft.c2r_y_pair(zx_folded_pallas(spm, +1, interpret=True))
+    )
+    want = np.asarray(mmfft.ifft3_half_pair(spm))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
+def test_c2r_folded_matches_plain():
+    """_c2r_y_pair_folded == c2r_y_pair at f32 accuracy (TPU-gated form)."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    n, h = 32, 16
+    spm = jnp.asarray(
+        rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32
+    )
+    got = np.asarray(
+        mmfft._c2r_y_pair_folded(spm, jax.lax.Precision.HIGHEST)
+    )
+    want = np.asarray(mmfft.c2r_y_pair(spm))
+    np.testing.assert_allclose(got, want, atol=4e-7 * np.abs(want).max())

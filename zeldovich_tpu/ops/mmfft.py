@@ -455,6 +455,75 @@ def _c2r_y_pair_assembled(spm, precision):
     return jnp.stack([re, im], axis=-4)
 
 
+@lru_cache(maxsize=None)
+def _c2r_fold_mats(n: int):
+    """Folded c2r matrices: rows y in [0, h], interior cols k in [1, h-1].
+
+    Cmid[y, k] = cos(2 pi y k / n), Smid[y, k] = -sin(...); alt[y] =
+    cos(pi y) carries the halved k = h edge column (k = 0 contributes a
+    constant 1/2 row-sum).  Output rows y > h come from the mirror:
+    cos symmetric, sin antisymmetric under y -> n - y.
+    """
+    h = n // 2
+    y = np.arange(h + 1)[:, None].astype(np.float64)
+    k = np.arange(1, h)[None, :].astype(np.float64)
+    t = 2.0 * np.pi / n * (y * k)
+    Cmid = np.cos(t).astype(np.float32)
+    Smid = (-np.sin(t)).astype(np.float32)
+    alt = np.cos(np.pi * np.arange(h + 1)).astype(np.float32)[:, None, None]
+    return Cmid, Smid, alt
+
+
+def use_c2r_folded(dtype, n: int) -> bool:
+    """Opt-in (ZT_FOLD_C2R=1) TPU f32 gate for the folded c2r.
+
+    Measured on the v5e at 512^3: the folded form is *slower* than the
+    plain XLA matmul here (the y-contraction is already half-length h+1,
+    so folding saves <2x MACs while adding fold/unfold HBM passes) --
+    unlike the in-plane axes where the Pallas kernel fuses the folds in
+    VMEM.  Kept as an experiment knob; off by default.
+    """
+    return (
+        dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("ZT_NO_PALLAS_FFT")
+        and bool(os.environ.get("ZT_FOLD_C2R"))
+        and n % 2 == 0
+        and n <= DENSE_MAX
+    )
+
+
+def _c2r_y_pair_folded(spm, precision):
+    """c2r_y_pair with the output dim folded: ~2x fewer MXU MACs.
+
+    The k = 0 / k = h edge columns are peeled into broadcast terms so
+    the matmul contraction stays a clean multiple of 128 (255 -> 256
+    instead of 257 -> 384 lane padding).
+    """
+    n = spm.shape[-2]
+    h = n // 2
+    Cm, Sm, alt = (jnp.asarray(m) for m in _c2r_fold_mats(n))
+    spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
+    smr, smi = spm[..., 1, 0, :, :, :], spm[..., 1, 1, :, :, :]
+    twoDr, twoDi = spr + smr, spi + smi
+    twoFr, twoFi = spi - smi, smr - spr
+    es = partial(jnp.einsum, "yk,...kzx->...yzx", precision=precision)
+    halfc = jnp.float32(0.5)
+
+    def one(a, b):
+        P = (
+            es(Cm, a[..., 1:h, :, :])
+            + halfc * a[..., 0:1, :, :]
+            + halfc * alt * a[..., h:h + 1, :, :]
+        )
+        Q = es(Sm, b[..., 1:h, :, :])
+        top = P + Q  # y = 0..h
+        bot = (P - Q)[..., 1:h, :, :][..., ::-1, :, :]  # y = h+1..n-1
+        return jnp.concatenate([top, bot], axis=-3)
+
+    return jnp.stack([one(twoDr, twoDi), one(twoFr, twoFi)], axis=-4)
+
+
 def c2r_y_pair(spm, precision=None):
     """Half-spectrum inverse transform along the ky axis (unnormalized +1).
 
@@ -476,6 +545,8 @@ def c2r_y_pair(spm, precision=None):
     precision = _resolve_precision(precision)
     if n > DENSE_MAX:
         return _c2r_y_pair_assembled(spm, precision)
+    if use_c2r_folded(dtype, n):
+        return _c2r_y_pair_folded(spm, precision)
 
     spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
     smr, smi = spm[..., 1, 0, :, :, :], spm[..., 1, 1, :, :, :]
@@ -511,7 +582,16 @@ def ifft3_half_pair(spm, precision=None):
     spm: (narray, 2, 2, h+1, Z, X) from modes_real.synthesize_half_pair.
     Returns (narray, 2, Y, Z, X) -- the same x-space pair layout as
     ifft3_pair of the full assembled grid.
+
+    On TPU the in-plane (z, x) transforms route through the folded
+    Pallas kernel (ops/pallas_fft: 3x fewer MXU MACs, fold/unfold fused
+    in VMEM); CPU keeps the XLA matmul forms bit-compatible with the
+    sharded/out-of-core paths.
     """
+    from .pallas_fft import use_zx_folded, zx_folded_pallas
+
+    if precision is None and use_zx_folded(spm.dtype, spm.shape[-1]):
+        return c2r_y_pair(zx_folded_pallas(spm, +1), precision)
     re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
     for ax in (-2, -1):
         re, im = cfft_axis(re, im, ax, +1, precision)

@@ -1,0 +1,194 @@
+"""Folded dense-DFT Pallas kernels: 3x fewer MXU MACs per complex axis.
+
+The dense complex DFT matmul (ops/mmfft) spends 3 n^2 real MACs per
+skewer (Gauss form).  The cos/sin matrices have even/odd symmetry in both
+indices: folding the data (e[j] = f[j] + f[n-j], o[j] = f[j] - f[n-j])
+turns each n x n contraction into cos/sin half-matrices of (h+1) x h,
+h = n/2 -- 4 matmuls of ~n^2/4 MACs per complex axis, i.e. 3x fewer MXU
+flops.  In XLA the fold/unfold costs ~2 extra full-array HBM passes per
+axis, which eats the win; fused in VMEM the folds are free.
+
+One grid step processes one (n, n) plane pair (re, im) and applies BOTH
+the z-axis (sublane) and x-axis (lane) folded transforms -- the full
+in-plane part of the 3-D transform in a single HBM read + write.
+
+Accuracy: folding sums value pairs before the product; the contraction
+length halves, so the compiled result differs from the unfolded XLA
+matmul at the ulp level (not bit-equal).  TPU-only, like the fused
+synth+pack kernel: CPU keeps the XLA forms and their byte-equality
+invariants.  Reference convention (unnormalized, sign=+1 inverse) as
+ops/mmfft: zeldovich.cpp:83-135, README.md:127-129.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@lru_cache(maxsize=None)
+def _fold_mats(n: int):
+    """Host cos/sin half-matrices (f32) for the folded length-n DFT.
+
+    Cc[k, j] = cos(2 pi k j / n),  k in [0, h], j in [0, h-1]
+    Ss[k, j] = sin(2 pi k j / n),  same shape (column 0 is zero, row 0/h
+    zero); alt[k] = cos(pi k) = (-1)^k carries the j = h Nyquist column.
+    """
+    h = n // 2
+    k = np.arange(h + 1)[:, None].astype(np.float64)
+    j = np.arange(h)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi / n * (k * j)
+    Cc = np.cos(ang).astype(np.float32)
+    Ss = np.sin(ang).astype(np.float32)
+    alt = np.cos(np.pi * np.arange(h + 1)).astype(np.float32)[:, None]
+    return Cc, Ss, alt
+
+
+def _rev_rows(x, interp):
+    """Reverse the (power-of-two) sublane axis of (m, X).
+
+    Mosaic has no rev primitive; a log2(m) butterfly of masked circular
+    shifts (swap halves, then quarters, ...) is an exact permutation --
+    bit-identical to lax.rev, which the interpreter uses directly.
+    """
+    if interp:
+        return lax.rev(x, (0,))
+    m = x.shape[0]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    b = m
+    while b >= 2:
+        s = b // 2
+        # i32 shifts: python ints promote to i64 under x64, which the
+        # tpu.dynamic_rotate op refuses
+        fwd = pltpu.roll(x, jnp.int32(m - s), 0)  # fwd[p] = x[p + s]
+        bwd = pltpu.roll(x, jnp.int32(s), 0)      # bwd[p] = x[p - s]
+        # idx % b as same-dtype bitwise ops: mixed-type % recurses in the
+        # x64 promotion path at trace time
+        in_first = (idx & jnp.int32(b - 1)) < jnp.int32(s)
+        x = jnp.where(in_first, fwd, bwd)
+        b = s
+    return x
+
+
+def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
+    """Complex folded DFT contracting the first (sublane) axis of (n, X)."""
+    n = re.shape[0]
+    h = n // 2
+    dot = partial(
+        lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+
+    def fold(x):
+        # e[j] = x[j] + x[n-j], o[j] = x[j] - x[n-j]: the reversed tail
+        # x[n-1]..x[h+1] is rows 0..h-2 of the full-row reversal
+        rev = _rev_rows(x, interp)
+        head = x[:1]
+        mid, tail = x[1:h], rev[: h - 1]
+        e = jnp.concatenate([head, mid + tail], axis=0)
+        o = jnp.concatenate([jnp.zeros_like(head), mid - tail], axis=0)
+        return e, o, x[h:h + 1]
+
+    e_re, o_re, ny_re = fold(re)
+    e_im, o_im, ny_im = fold(im)
+    Rc_re = dot(Cc, e_re) + alt * ny_re
+    Rc_im = dot(Cc, e_im) + alt * ny_im
+    Rs_re = dot(Ss, o_re)
+    Rs_im = dot(Ss, o_im)
+    # out[k<=h] = Rc -/+ sg*Rs;  out[n-k] = mirror with the sign flipped
+    top_re = Rc_re - sg * Rs_im
+    top_im = Rc_im + sg * Rs_re
+
+    def unfold(top, T):
+        # out[p > h] = T[n - p]: place T[1:] (h rows) at the top of an
+        # n-row buffer, full-reverse it, and keep rows h+1..n-1
+        V = jnp.concatenate([T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], 0)
+        return jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
+
+    out_re = unfold(top_re, Rc_re + sg * Rs_im)
+    out_im = unfold(top_im, Rc_im - sg * Rs_re)
+    return out_re, out_im
+
+
+def _zx_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
+               interp):
+    re = spm_ref[0, 0, 0]
+    im = spm_ref[0, 1, 0]
+    Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
+    # z axis: contract sublanes directly
+    re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp)
+    # x axis: transpose in VMEM, contract, transpose back
+    re, im = _folded_axis0(re.T, im.T, Cc, Ss, alt, sg, prec, interp)
+    out_ref[0, 0, 0] = re.T
+    out_ref[0, 1, 0] = im.T
+
+
+@partial(jax.jit, static_argnames=("sign", "interpret"))
+def zx_folded_pallas(spm, sign: int = +1, interpret=None):
+    """In-plane (z, x) complex DFT of a stacked pair batch, folded + fused.
+
+    spm: (..., 2, K, n, n) float32 -- (re/im, plane batch, Z, X) trailing
+    dims, matching the half-spectrum layout (narray, pm, re/im, ky, Z, X)
+    with no relayout: the re/im dim is carried in the block so the DMA
+    gathers both components of a plane without a host-side transpose.
+    Returns the same shape with both in-plane axes transformed
+    (unnormalized, FFTW sign convention).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = spm.shape[-1]
+    assert spm.shape[-2] == n and spm.shape[-4] == 2
+    k = spm.shape[-3]
+    lead = spm.shape[:-4]
+    b = int(np.prod(lead)) if lead else 1
+    flat = spm.reshape(b, 2, k, n, n)
+    Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
+
+    from .mmfft import _resolve_precision
+
+    prec = _resolve_precision(None)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    pspec = pl.BlockSpec(
+        (1, 2, 1, n, n),
+        lambda i, j: (i32(i), i32(0), i32(j), i32(0), i32(0)),
+    )
+    mspec = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(i32(0) for _ in shape)
+    )
+    out = pl.pallas_call(
+        partial(_zx_kernel, sg=np.float32(sign), prec=prec,
+                interp=interpret),
+        out_shape=jax.ShapeDtypeStruct((b, 2, k, n, n), spm.dtype),
+        grid=(b, k),
+        in_specs=[pspec, mspec(Cc.shape), mspec(Ss.shape), mspec(alt.shape)],
+        out_specs=pspec,
+        # two (n, n) plane pairs + folded temps overflow the default 16M
+        # scoped-vmem cap at n = 512; the chip has 128M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(flat, Cc, Ss, alt)
+    return out.reshape(spm.shape)
+
+
+def use_zx_folded(dtype, n: int) -> bool:
+    """TPU-only, f32, even dense sizes that fit the single-plane VMEM
+    budget (two (n, n) planes + folded temps + matrices < ~12 MB)."""
+    import os
+
+    return (
+        dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("ZT_NO_PALLAS_FFT")
+        and n & (n - 1) == 0  # the reversal butterfly needs a power of two
+        and 128 <= n <= 512
+    )
