@@ -79,6 +79,33 @@ def test_half_pipeline_with_folded_kernel():
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("n", [16, 32, 64])
+def test_c2r_pallas_matches_plain(n):
+    """c2r_y_folded_pallas (interpret) == c2r_y_pair at f32 accuracy."""
+    from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
+
+    rng = np.random.default_rng(3)
+    h = n // 2
+    spm = jnp.asarray(rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32)
+    got = np.asarray(c2r_y_folded_pallas(spm, interpret=True))
+    want = np.asarray(mmfft.c2r_y_pair(spm))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=4e-7 * np.abs(want).max())
+
+
+def test_full_pallas_route_matches_xla():
+    """zx kernel + Pallas c2r == ifft3_half_pair's XLA route (f32)."""
+    from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
+
+    rng = np.random.default_rng(4)
+    n, h = 32, 16
+    spm = jnp.asarray(rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32)
+    g = zx_folded_pallas(spm, +1, interpret=True)
+    got = np.asarray(c2r_y_folded_pallas(g, interpret=True))
+    want = np.asarray(mmfft.ifft3_half_pair(spm))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
 def test_c2r_folded_matches_plain():
     """_c2r_y_pair_folded == c2r_y_pair at f32 accuracy (TPU-gated form)."""
     import jax

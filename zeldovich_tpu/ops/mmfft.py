@@ -588,10 +588,18 @@ def ifft3_half_pair(spm, precision=None):
     in VMEM); CPU keeps the XLA matmul forms bit-compatible with the
     sharded/out-of-core paths.
     """
-    from .pallas_fft import use_zx_folded, zx_folded_pallas
+    from .pallas_fft import (
+        c2r_y_folded_pallas,
+        use_c2r_pallas,
+        use_zx_folded,
+        zx_folded_pallas,
+    )
 
     if precision is None and use_zx_folded(spm.dtype, spm.shape[-1]):
-        return c2r_y_pair(zx_folded_pallas(spm, +1), precision)
+        g = zx_folded_pallas(spm, +1)
+        if use_c2r_pallas(spm.dtype, spm.shape[-1]):
+            return c2r_y_folded_pallas(g)
+        return c2r_y_pair(g, precision)
     re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
     for ax in (-2, -1):
         re, im = cfft_axis(re, im, ax, +1, precision)

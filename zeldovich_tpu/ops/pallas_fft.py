@@ -180,6 +180,107 @@ def zx_folded_pallas(spm, sign: int = +1, interpret=None):
     return out.reshape(spm.shape)
 
 
+def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
+    """Folded c2r y-transform of one (z, x) stripe, mirror fused in VMEM.
+
+    Same math as mmfft._c2r_y_pair_folded (whose XLA form loses its MAC
+    saving to fold/unfold HBM passes): compute output rows y in [0, h]
+    with half-length matmuls, mirror rows y > h in VMEM.
+    """
+    spr = spm_ref[0, 0, 0, :, 0]
+    spi = spm_ref[0, 0, 1, :, 0]
+    smr = spm_ref[0, 1, 0, :, 0]
+    smi = spm_ref[0, 1, 1, :, 0]
+    Cm, Sm, alt = cm_ref[...], sm_ref[...], alt_ref[...]
+    h = spr.shape[0] - 1
+    n = 2 * h
+    twoDr, twoDi = spr + smr, spi + smi
+    twoFr, twoFi = spi - smi, smr - spr
+    dot = partial(
+        lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    halfc = jnp.float32(0.5)
+
+    def one(a, b):
+        P = dot(Cm, a[1:h]) + halfc * a[0:1] + halfc * alt * a[h:h + 1]
+        Q = dot(Sm, b[1:h])
+        top = P + Q  # y = 0..h
+        T = P - Q  # out[y > h] = T[n - y]
+        V = jnp.concatenate(
+            [T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], axis=0
+        )
+        return jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
+
+    out_ref[0, 0, :, 0] = one(twoDr, twoDi)
+    out_ref[0, 1, :, 0] = one(twoFr, twoFi)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def c2r_y_folded_pallas(spm, interpret=None):
+    """Half-spectrum inverse y-transform (mmfft.c2r_y_pair), folded + fused.
+
+    spm: (..., 2, 2, h+1, Z, X) float32 -- (+/- packing, re/im, ky, Z, X)
+    with z and x already transformed.  Returns (..., 2, n, Z, X), the
+    packed x-space pair; unnormalized +1 convention as c2r_y_pair.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    hp1, Z, X = spm.shape[-3:]
+    n = 2 * (hp1 - 1)
+    assert spm.shape[-5:-3] == (2, 2)
+    lead = spm.shape[:-5]
+    b = int(np.prod(lead)) if lead else 1
+    flat = spm.reshape(b, 2, 2, hp1, Z, X)
+    from .mmfft import _c2r_fold_mats, _resolve_precision
+
+    Cm, Sm, alt3 = _c2r_fold_mats(n)
+    alt = jnp.asarray(alt3[..., 0])  # (h+1, 1)
+    Cm, Sm = jnp.asarray(Cm), jnp.asarray(Sm)
+    prec = _resolve_precision(None)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    in_spec = pl.BlockSpec(
+        (1, 2, 2, hp1, 1, X),
+        lambda i, j: (i32(i), i32(0), i32(0), i32(0), i32(j), i32(0)),
+    )
+    out_spec = pl.BlockSpec(
+        (1, 2, n, 1, X),
+        lambda i, j: (i32(i), i32(0), i32(0), i32(j), i32(0)),
+    )
+    mspec = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(i32(0) for _ in shape)
+    )
+    out = pl.pallas_call(
+        partial(_c2r_kernel, prec=prec, interp=interpret),
+        out_shape=jax.ShapeDtypeStruct((b, 2, n, Z, X), spm.dtype),
+        grid=(b, Z),
+        in_specs=[in_spec, mspec(Cm.shape), mspec(Sm.shape), mspec(alt.shape)],
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(flat, Cm, Sm, alt)
+    return out.reshape(*lead, 2, n, Z, X)
+
+
+def use_c2r_pallas(dtype, n: int) -> bool:
+    """TPU-only, f32, power-of-two dense sizes (the mirror reversal is
+    the same butterfly as the zx kernel)."""
+    import os
+
+    return (
+        dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("ZT_NO_PALLAS_FFT")
+        and not os.environ.get("ZT_NO_PALLAS_C2R")
+        and n & (n - 1) == 0
+        and 128 <= n <= 512
+    )
+
+
 def use_zx_folded(dtype, n: int) -> bool:
     """TPU-only, f32, even dense sizes that fit the single-plane VMEM
     budget (two (n, n) planes + folded temps + matrices < ~12 MB)."""
