@@ -47,6 +47,9 @@ def child():
     import jax
 
     jax.config.update("jax_enable_x64", True)  # u64 RNG limbs
+    from zeldovich_tpu.utils.backend import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pathlib import Path

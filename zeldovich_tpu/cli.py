@@ -85,6 +85,9 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_enable_x64", True)  # u64 RNG limbs
+    from .utils.backend import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.distributed:
         from .parallel.multihost import init_distributed
