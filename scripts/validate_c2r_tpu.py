@@ -1,0 +1,103 @@
+"""On-chip parity check of the Pallas folded c2r y-transform.
+
+Compares c2r_y_folded_pallas against the XLA c2r_y_pair on the real TPU
+(the interpret-mode tests only cover the CPU interpreter): computes the
+max-abs difference ON DEVICE and fetches two scalars, so the remote
+tunnel's fetch bandwidth is irrelevant.
+
+Usage (detached): setsid nohup python scripts/validate_c2r_tpu.py \
+    > runs/validate_c2r.log 2>&1 &
+Env: VAL_N (default "256,512" comma list).
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+from zeldovich_tpu.utils.backend import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+from zeldovich_tpu.ops import mmfft
+from zeldovich_tpu.ops.pallas_fft import (
+    c2r_y_folded_pallas,
+    use_c2r_pallas,
+    zx_folded_pallas,
+)
+
+print("devices:", jax.devices(), flush=True)
+
+for n in [int(s) for s in os.environ.get("VAL_N", "256,512").split(",")]:
+    h = n // 2
+    rng = np.random.default_rng(11)
+    spm = jnp.asarray(
+        rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32
+    )
+    assert use_c2r_pallas(spm.dtype, n), f"gate refused n={n}"
+    t0 = time.time()
+    g = zx_folded_pallas(spm, +1)
+
+    @jax.jit
+    def diff(g):
+        a = c2r_y_folded_pallas(g)
+        b = mmfft.c2r_y_pair(g)
+        return jnp.abs(a - b).max(), jnp.abs(b).max()
+
+    d, m = (float(np.asarray(v)) for v in diff(g))
+    rel = d / m
+    print(
+        f"n={n}: max|pallas-xla|={d:.3e} max|xla|={m:.3e} rel={rel:.3e} "
+        f"({time.time() - t0:.0f}s incl. compile)",
+        flush=True,
+    )
+    assert rel < 2e-6, f"c2r parity FAILED at n={n}"
+
+print("c2r on-chip parity OK", flush=True)
+
+# -- n=1024 VMEM feasibility probe (gates stop at 512 until this passes) --
+if os.environ.get("VAL_1024", "1") != "0":
+    n, h = 1024, 512
+    rng = np.random.default_rng(13)
+    # small K: probes the per-plane VMEM footprint, not throughput
+    spm = jnp.asarray(rng.normal(size=(1, 2, 2, h + 1, n, n)), jnp.float32)
+    try:
+        t0 = time.time()
+        g = zx_folded_pallas(spm, +1)
+
+        @jax.jit
+        def diff2(g, spm):
+            re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+            for ax in (-2, -1):
+                re, im = mmfft.cfft_axis(re, im, ax, +1)
+            b = jnp.stack([re, im], axis=-4)
+            return jnp.abs(g - b).max(), jnp.abs(b).max()
+
+        d, m = (float(np.asarray(v)) for v in diff2(g, spm))
+        print(
+            f"zx n=1024: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        t0 = time.time()
+
+        @jax.jit
+        def diff3(g):
+            a = c2r_y_folded_pallas(g)
+            b = mmfft.c2r_y_pair(g)
+            return jnp.abs(a - b).max(), jnp.abs(b).max()
+
+        d, m = (float(np.asarray(v)) for v in diff3(g))
+        print(
+            f"c2r n=1024: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        print("n=1024 feasible: OK to raise kernel gates", flush=True)
+    except Exception as e:
+        print(f"n=1024 probe failed: {type(e).__name__}: {e}", flush=True)

@@ -106,6 +106,23 @@ def test_full_pallas_route_matches_xla():
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("sign", [+1, -1])
+def test_ooc_slab_layout_matches_xla(sign):
+    """zx kernel on an out-of-core y-slab (narray, 2, ny, Z, X) == the
+    XLA cfft_axis loop the slab kernels use off-TPU (layout check for
+    models/outofcore._synth_ifft_zx_pair / _fwd_zx_pair routing)."""
+    rng = np.random.default_rng(5)
+    n, ny = 16, 3
+    k = jnp.asarray(rng.normal(size=(2, 2, ny, n, n)), jnp.float32)
+    got = np.asarray(zx_folded_pallas(k, sign, interpret=True))
+    p = jnp.swapaxes(k, 0, 1)
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(p[0], p[1], ax, sign)
+        p = jnp.stack([re, im])
+    want = np.asarray(jnp.swapaxes(p, 0, 1))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
 def test_c2r_folded_matches_plain():
     """_c2r_y_pair_folded == c2r_y_pair at f32 accuracy (TPU-gated form)."""
     import jax
