@@ -41,6 +41,11 @@ import time
 
 def child():
     ppd = int(os.environ.get("BENCH_PPD", "512"))
+    if os.environ.get("BENCH_FALLBACK") == "cpu":
+        # the CPU fallback exists to report SOMETHING when the device
+        # tunnel is wedged; 512^3 on host cores blows the attempt timeout,
+        # so it drops to a grid the CPU finishes in minutes
+        ppd = min(ppd, int(os.environ.get("BENCH_CPU_PPD", "256")))
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     reps = int(os.environ.get("BENCH_REPS", "6"))
 
@@ -123,7 +128,9 @@ def child():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
-    if dtype_name == "float32":
+    if dtype_name == "float32" and jax.devices()[0].platform == "tpu":
+        # the roofline denominators are accelerator chip peaks; they mean
+        # nothing for the CPU-fallback measurement
         result.update(_roofline(ppd, param.narray, dt))
 
     # ---- end-to-end: + device->host fetch + particle serialization ----
