@@ -97,24 +97,29 @@ def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
         o = jnp.concatenate([jnp.zeros_like(head), mid - tail], axis=0)
         return e, o, x[h:h + 1]
 
-    e_re, o_re, ny_re = fold(re)
-    e_im, o_im, ny_im = fold(im)
-    Rc_re = dot(Cc, e_re) + alt * ny_re
-    Rc_im = dot(Cc, e_im) + alt * ny_im
-    Rs_re = dot(Ss, o_re)
-    Rs_im = dot(Ss, o_im)
+    # one reversal butterfly serves both components (split after); re/im
+    # also share the DFT matrices, so one double-width dot per matrix
+    # keeps the MXU weight-stationary twice as long (identical
+    # per-column results)
+    Xw = re.shape[1]
+    e2, o2, ny2 = fold(jnp.concatenate([re, im], axis=1))
+    Rc = dot(Cc, e2) + alt * ny2
+    Rs = dot(Ss, o2)
+    Rc_re, Rc_im = Rc[:, :Xw], Rc[:, Xw:]
+    Rs_re, Rs_im = Rs[:, :Xw], Rs[:, Xw:]
     # out[k<=h] = Rc -/+ sg*Rs;  out[n-k] = mirror with the sign flipped
     top_re = Rc_re - sg * Rs_im
     top_im = Rc_im + sg * Rs_re
-
-    def unfold(top, T):
-        # out[p > h] = T[n - p]: place T[1:] (h rows) at the top of an
-        # n-row buffer, full-reverse it, and keep rows h+1..n-1
-        V = jnp.concatenate([T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], 0)
-        return jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
-
-    out_re = unfold(top_re, Rc_re + sg * Rs_im)
-    out_im = unfold(top_im, Rc_im - sg * Rs_re)
+    T2 = jnp.concatenate(
+        [Rc_re + sg * Rs_im, Rc_im - sg * Rs_re], axis=1
+    )
+    # out[p > h] = T[n - p]: place T[1:] (h rows) at the top of an n-row
+    # buffer, full-reverse it (one butterfly for both components), and
+    # keep rows h+1..n-1
+    V = jnp.concatenate([T2[1:], jnp.zeros((h, 2 * Xw), T2.dtype)], 0)
+    W = _rev_rows(V, interp)[h + 1:]
+    out_re = jnp.concatenate([top_re, W[:, :Xw]], axis=0)
+    out_im = jnp.concatenate([top_im, W[:, Xw:]], axis=0)
     return out_re, out_im
 
 
@@ -203,19 +208,19 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
         preferred_element_type=jnp.float32,
     )
     halfc = jnp.float32(0.5)
-
-    def one(a, b):
-        P = dot(Cm, a[1:h]) + halfc * a[0:1] + halfc * alt * a[h:h + 1]
-        Q = dot(Sm, b[1:h])
-        top = P + Q  # y = 0..h
-        T = P - Q  # out[y > h] = T[n - y]
-        V = jnp.concatenate(
-            [T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], axis=0
-        )
-        return jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
-
-    out_ref[0, 0, :, 0] = one(twoDr, twoDi)
-    out_ref[0, 1, :, 0] = one(twoFr, twoFi)
+    # the D and F stripes share the c2r matrices: batch both into one
+    # double-width dot per matrix (identical per-column results)
+    X = spr.shape[1]
+    a = jnp.concatenate([twoDr, twoFr], axis=1)
+    b = jnp.concatenate([twoDi, twoFi], axis=1)
+    P = dot(Cm, a[1:h]) + halfc * a[0:1] + halfc * alt * a[h:h + 1]
+    Q = dot(Sm, b[1:h])
+    top = P + Q  # y = 0..h
+    T = P - Q  # out[y > h] = T[n - y]
+    V = jnp.concatenate([T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], axis=0)
+    full = jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
+    out_ref[0, 0, :, 0] = full[:, :X]
+    out_ref[0, 1, :, 0] = full[:, X:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
