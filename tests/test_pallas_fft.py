@@ -123,6 +123,19 @@ def test_ooc_slab_layout_matches_xla(sign):
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("sign", [+1, -1])
+def test_tiled_matches_fused(sign):
+    """Two-pass tiled kernel == the fused zx kernel (same folded math)."""
+    from zeldovich_tpu.ops.pallas_fft import zx_tiled_pallas
+
+    rng = np.random.default_rng(6)
+    n = 32
+    spm = jnp.asarray(rng.normal(size=(2, 2, 3, n, n)), jnp.float32)
+    got = np.asarray(zx_tiled_pallas(spm, sign, tile=8, interpret=True))
+    want = np.asarray(zx_folded_pallas(spm, sign, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
 def test_c2r_folded_matches_plain():
     """_c2r_y_pair_folded == c2r_y_pair at f32 accuracy (TPU-gated form)."""
     import jax

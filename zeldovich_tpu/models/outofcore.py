@@ -98,10 +98,17 @@ def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None
     )
     # (narray, 2, ny, Z, X): the re/im at -4 / in-plane trailing dims are
     # exactly the folded Pallas kernel's layout (TPU; XLA matmuls elsewhere)
-    from ..ops.pallas_fft import use_zx_folded, zx_folded_pallas
+    from ..ops.pallas_fft import (
+        use_zx_folded,
+        use_zx_tiled,
+        zx_folded_pallas,
+        zx_tiled_pallas,
+    )
 
     if use_zx_folded(k.dtype, cfg.ppd):
         return zx_folded_pallas(k, +1)
+    if use_zx_tiled(k.dtype, cfg.ppd):
+        return zx_tiled_pallas(k, +1)
     p = jnp.swapaxes(k, 0, 1)  # (2, narray, ny, Z, X)
     for ax in (-2, -1):
         re, im = mmfft.cfft_axis(p[0], p[1], ax, +1)
@@ -192,10 +199,17 @@ def _fwd_y_phi_nl_pair(zslab, f_NL, inv_n3):
 @jax.jit
 def _fwd_zx_pair(yslab):
     """Pair twin of _fwd_zx: yslab (narray, 2, By, Z, X), forward z and x."""
-    from ..ops.pallas_fft import use_zx_folded, zx_folded_pallas
+    from ..ops.pallas_fft import (
+        use_zx_folded,
+        use_zx_tiled,
+        zx_folded_pallas,
+        zx_tiled_pallas,
+    )
 
     if use_zx_folded(yslab.dtype, yslab.shape[-1]):
         return zx_folded_pallas(yslab, -1)
+    if use_zx_tiled(yslab.dtype, yslab.shape[-1]):
+        return zx_tiled_pallas(yslab, -1)
     p = jnp.swapaxes(yslab, 0, 1)
     for ax in (-2, -1):
         re, im = mmfft.cfft_axis(p[0], p[1], ax, -1)

@@ -592,7 +592,9 @@ def ifft3_half_pair(spm, precision=None):
         c2r_y_folded_pallas,
         use_c2r_pallas,
         use_zx_folded,
+        use_zx_tiled,
         zx_folded_pallas,
+        zx_tiled_pallas,
     )
 
     if precision is None and use_zx_folded(spm.dtype, spm.shape[-1]):
@@ -600,6 +602,8 @@ def ifft3_half_pair(spm, precision=None):
         if use_c2r_pallas(spm.dtype, spm.shape[-1]):
             return c2r_y_folded_pallas(g)
         return c2r_y_pair(g, precision)
+    if precision is None and use_zx_tiled(spm.dtype, spm.shape[-1]):
+        return c2r_y_pair(zx_tiled_pallas(spm, +1), precision)
     re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
     for ax in (-2, -1):
         re, im = cfft_axis(re, im, ax, +1, precision)

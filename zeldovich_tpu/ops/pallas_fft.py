@@ -185,6 +185,103 @@ def zx_folded_pallas(spm, sign: int = +1, interpret=None):
     return out.reshape(spm.shape)
 
 
+def _z_tile_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
+                   interp):
+    """Folded transform along z (sublanes) of one (n, w) lane tile."""
+    re = spm_ref[0, 0, 0]
+    im = spm_ref[0, 1, 0]
+    out_ref[0, 0, 0], out_ref[0, 1, 0] = _folded_axis0(
+        re, im, cc_ref[...], ss_ref[...], alt_ref[...], sg, prec, interp
+    )
+
+
+def _x_tile_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
+                   interp):
+    """Folded transform along x (lanes) of one (w, n) sublane stripe."""
+    re = spm_ref[0, 0, 0]
+    im = spm_ref[0, 1, 0]
+    r, i = _folded_axis0(
+        re.T, im.T, cc_ref[...], ss_ref[...], alt_ref[...], sg, prec, interp
+    )
+    out_ref[0, 0, 0], out_ref[0, 1, 0] = r.T, i.T
+
+
+@partial(jax.jit, static_argnames=("sign", "tile", "interpret"))
+def zx_tiled_pallas(spm, sign: int = +1, tile: int = 512, interpret=None):
+    """Two-pass folded in-plane DFT for planes too big to fuse (n > 512).
+
+    Same math and layout contract as zx_folded_pallas, but each axis is
+    its own pallas_call with the other axis tiled to ``tile`` lanes, so
+    the VMEM footprint is ~n*tile instead of n^2.  Costs one extra HBM
+    round trip vs the fused kernel -- still 3x fewer MXU MACs than the
+    unfolded XLA matmul, with the folds in VMEM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = spm.shape[-1]
+    assert spm.shape[-2] == n and spm.shape[-4] == 2
+    w = min(tile, n)
+    assert n % w == 0
+    k = spm.shape[-3]
+    lead = spm.shape[:-4]
+    b = int(np.prod(lead)) if lead else 1
+    flat = spm.reshape(b, 2, k, n, n)
+    Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
+
+    from .mmfft import _resolve_precision
+
+    prec = _resolve_precision(None)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    zspec = pl.BlockSpec(
+        (1, 2, 1, n, w),
+        lambda i, j, t: (i32(i), i32(0), i32(j), i32(0), i32(t)),
+    )
+    xspec = pl.BlockSpec(
+        (1, 2, 1, w, n),
+        lambda i, j, t: (i32(i), i32(0), i32(j), i32(t), i32(0)),
+    )
+    mspec = lambda shape: pl.BlockSpec(
+        shape, lambda i, j, t: tuple(i32(0) for _ in shape)
+    )
+    mats = [mspec(Cc.shape), mspec(Ss.shape), mspec(alt.shape)]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        partial(_z_tile_kernel, sg=np.float32(sign), prec=prec,
+                interp=interpret),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, spm.dtype),
+        grid=(b, k, n // w),
+        in_specs=[zspec] + mats,
+        out_specs=zspec,
+        compiler_params=params,
+        interpret=interpret,
+    )(flat, Cc, Ss, alt)
+    out = pl.pallas_call(
+        partial(_x_tile_kernel, sg=np.float32(sign), prec=prec,
+                interp=interpret),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, spm.dtype),
+        grid=(b, k, n // w),
+        in_specs=[xspec] + mats,
+        out_specs=xspec,
+        compiler_params=params,
+        interpret=interpret,
+    )(out, Cc, Ss, alt)
+    return out.reshape(spm.shape)
+
+
+def use_zx_tiled(dtype, n: int) -> bool:
+    """TPU-only, f32, power-of-two n above the fused kernel's range."""
+    import os
+
+    return (
+        dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("ZT_NO_PALLAS_FFT")
+        and not os.environ.get("ZT_NO_PALLAS_TILED")
+        and n & (n - 1) == 0
+        and 512 < n <= 2048
+    )
+
+
 def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
     """Folded c2r y-transform of one (z, x) stripe, mirror fused in VMEM.
 
