@@ -68,23 +68,40 @@ if os.environ.get("VAL_1024", "1") != "0":
     rng = np.random.default_rng(13)
     # small K: probes the per-plane VMEM footprint, not throughput
     spm = jnp.asarray(rng.normal(size=(1, 2, 2, h + 1, n, n)), jnp.float32)
-    try:
-        t0 = time.time()
-        g = zx_folded_pallas(spm, +1)
 
-        @jax.jit
-        def diff2(g, spm):
-            re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
-            for ax in (-2, -1):
-                re, im = mmfft.cfft_axis(re, im, ax, +1)
-            b = jnp.stack([re, im], axis=-4)
-            return jnp.abs(g - b).max(), jnp.abs(b).max()
+    @jax.jit
+    def xla_zx(spm):
+        re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+        for ax in (-2, -1):
+            re, im = mmfft.cfft_axis(re, im, ax, +1)
+        return jnp.stack([re, im], axis=-4)
 
-        d, m = (float(np.asarray(v)) for v in diff2(g, spm))
-        print(
-            f"zx n=1024: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
-            flush=True,
-        )
+    @jax.jit
+    def reldiff(a, b):
+        return jnp.abs(a - b).max(), jnp.abs(b).max()
+
+    t0 = time.time()
+    ref = xla_zx(spm)
+    print(f"xla ref n=1024 compiled ({time.time() - t0:.0f}s)", flush=True)
+
+    def probe(name, fn):
+        try:
+            t0 = time.time()
+            d, m = (float(np.asarray(v)) for v in reldiff(fn(), ref))
+            print(
+                f"{name} n=1024: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+            return True
+        except Exception as e:
+            print(f"{name} n=1024 FAILED: {type(e).__name__}: {e}", flush=True)
+            return False
+
+    from zeldovich_tpu.ops.pallas_fft import zx_tiled_pallas
+
+    fused_ok = probe("zx_fused", lambda: zx_folded_pallas(spm, +1))
+    probe("zx_tiled", lambda: zx_tiled_pallas(spm, +1))
+    if fused_ok:
         t0 = time.time()
 
         @jax.jit
@@ -93,11 +110,8 @@ if os.environ.get("VAL_1024", "1") != "0":
             b = mmfft.c2r_y_pair(g)
             return jnp.abs(a - b).max(), jnp.abs(b).max()
 
-        d, m = (float(np.asarray(v)) for v in diff3(g))
+        d, m = (float(np.asarray(v)) for v in diff3(zx_folded_pallas(spm, +1)))
         print(
             f"c2r n=1024: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
             flush=True,
         )
-        print("n=1024 feasible: OK to raise kernel gates", flush=True)
-    except Exception as e:
-        print(f"n=1024 probe failed: {type(e).__name__}: {e}", flush=True)
