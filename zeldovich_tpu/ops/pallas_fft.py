@@ -295,7 +295,6 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
     smi = spm_ref[0, 1, 1, :, 0]
     Cm, Sm, alt = cm_ref[...], sm_ref[...], alt_ref[...]
     h = spr.shape[0] - 1
-    n = 2 * h
     twoDr, twoDi = spr + smr, spi + smi
     twoFr, twoFi = spi - smi, smr - spr
     dot = partial(
