@@ -136,6 +136,21 @@ def test_tiled_matches_fused(sign):
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("sign", [+1, -1])
+def test_y_tiled_matches_xla(sign):
+    """y_tiled_pallas == cfft_axis(-3) on the OOC z-slab layout."""
+    from zeldovich_tpu.ops.pallas_fft import y_tiled_pallas
+
+    rng = np.random.default_rng(8)
+    n, bz, X = 16, 3, 32
+    zslab = jnp.asarray(rng.normal(size=(2, 2, n, bz, X)), jnp.float32)
+    got = np.asarray(y_tiled_pallas(zslab, sign, tile=8, interpret=True))
+    p = jnp.swapaxes(zslab, 0, 1)
+    re, im = mmfft.cfft_axis(p[0], p[1], -3, sign)
+    want = np.asarray(jnp.swapaxes(jnp.stack([re, im]), 0, 1))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
 def test_c2r_folded_matches_plain():
     """_c2r_y_pair_folded == c2r_y_pair at f32 accuracy (TPU-gated form)."""
     import jax

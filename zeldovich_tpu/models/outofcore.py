@@ -119,6 +119,10 @@ def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None
 @jax.jit
 def _ifft_y_pair(zslab):
     """Pair twin of _ifft_y: zslab (narray, 2, Y, Bz, X), FFT along Y."""
+    from ..ops.pallas_fft import use_y_tiled, y_tiled_pallas
+
+    if use_y_tiled(zslab.dtype, zslab.shape[-3]):
+        return y_tiled_pallas(zslab, +1)
     p = jnp.swapaxes(zslab, 0, 1)
     re, im = mmfft.cfft_axis(p[0], p[1], -3, +1)
     return jnp.swapaxes(jnp.stack([re, im]), 0, 1)
@@ -189,6 +193,13 @@ def _fwd_zx(yslab):
 @jax.jit
 def _fwd_y_phi_nl_pair(zslab, f_NL, inv_n3):
     """Pair twin of _fwd_y_phi_nl: zslab (narray, 2, Y, Bz, X)."""
+    from ..ops.pallas_fft import use_y_tiled, y_tiled_pallas
+
+    if use_y_tiled(zslab.dtype, zslab.shape[-3]):
+        re = y_tiled_pallas(zslab, +1)[..., 0, :, :, :]
+        phi_x = (re + f_NL * re * re) * inv_n3
+        pair = jnp.stack([phi_x, jnp.zeros_like(phi_x)], axis=-4)
+        return y_tiled_pallas(pair, -1)
     p = jnp.swapaxes(zslab, 0, 1)
     re, _ = mmfft.cfft_axis(p[0], p[1], -3, +1)
     phi_x = (re + f_NL * re * re) * inv_n3

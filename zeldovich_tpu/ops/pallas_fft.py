@@ -268,6 +268,73 @@ def zx_tiled_pallas(spm, sign: int = +1, tile: int = 512, interpret=None):
     return out.reshape(spm.shape)
 
 
+@partial(jax.jit, static_argnames=("sign", "tile", "interpret"))
+def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
+    """Folded DFT along axis -3 of (..., 2, Y, Bz, X) -- the out-of-core
+    middle-axis (y) transform of a staged z-slab, lane-tiled like
+    zx_tiled_pallas.  Same unnormalized FFTW convention as
+    mmfft.cfft_axis(..., -3, sign)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, bz, X = zslab.shape[-3:]
+    assert zslab.shape[-4] == 2
+    w = min(tile, X)
+    assert X % w == 0
+    lead = zslab.shape[:-4]
+    b = int(np.prod(lead)) if lead else 1
+    flat = zslab.reshape(b, 2, n, bz, X)
+    Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
+
+    from .mmfft import _resolve_precision
+
+    prec = _resolve_precision(None)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    yspec = pl.BlockSpec(
+        (1, 2, n, 1, w),
+        lambda i, j, t: (i32(i), i32(0), i32(0), i32(j), i32(t)),
+    )
+    mspec = lambda shape: pl.BlockSpec(
+        shape, lambda i, j, t: tuple(i32(0) for _ in shape)
+    )
+
+    def kernel(ref, cc_ref, ss_ref, alt_ref, out_ref):
+        re = ref[0, 0, :, 0]
+        im = ref[0, 1, :, 0]
+        r, i = _folded_axis0(
+            re, im, cc_ref[...], ss_ref[...], alt_ref[...],
+            np.float32(sign), prec, interpret,
+        )
+        out_ref[0, 0, :, 0] = r
+        out_ref[0, 1, :, 0] = i
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, zslab.dtype),
+        grid=(b, bz, X // w),
+        in_specs=[yspec, mspec(Cc.shape), mspec(Ss.shape), mspec(alt.shape)],
+        out_specs=yspec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(flat, Cc, Ss, alt)
+    return out.reshape(zslab.shape)
+
+
+def use_y_tiled(dtype, n: int) -> bool:
+    """TPU-only, f32, power-of-two transform lengths."""
+    import os
+
+    return (
+        dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("ZT_NO_PALLAS_FFT")
+        and not os.environ.get("ZT_NO_PALLAS_TILED")
+        and n & (n - 1) == 0
+        and 128 <= n <= 2048
+    )
+
+
 def use_zx_tiled(dtype, n: int) -> bool:
     """TPU-only, f32, power-of-two n above the fused kernel's range."""
     import os
