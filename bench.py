@@ -148,12 +148,17 @@ def _roofline(ppd, narray, dt):
     the step actually uses) instead of only a ratio to the project target.
 
     Model (G = (ppd/2+1) * ppd^2 half-spectrum modes; narray complex
-    arrays carried as 2 pm-packings each -> F = 2*narray complex fields):
-      z/x transforms: dense Karatsuba matmul DFT = 3 real (rows x N)@(N x N)
-        matmuls per field per axis = 3*G*N MACs; 2 axes.
-      c2r y transform: 4 real [N x (h+1)] matmuls per array = 4*G*N MACs.
-      HBM: synthesis writes the 8 real planes (32*G bytes); each transform
-        reads+writes them (64*G per axis); c2r reads 32*G, writes 32*G.
+    arrays carried as 2 pm-packings each -> F = 2*narray complex fields),
+    per the route the step actually takes:
+      XLA z/x transforms: dense Karatsuba matmul DFT = 3 real
+        (rows x N)@(N x N) matmuls per field per axis = 3*G*N MACs; the
+        folded Pallas kernels (ops/pallas_fft, TPU) do 1*G*N per axis;
+      c2r y transform: 4 real [N x (h+1)] matmuls per array = 4*G*N MACs
+        unfolded; 2*G*N for the folded Pallas form.
+      HBM: synthesis writes the 8 real planes (32*G bytes); each XLA
+        transform reads+writes them (64*G per axis) where the fused
+        Pallas zx kernel does both axes in one pass (64*G total);
+        c2r reads 32*G, writes 32*G.
     MACs count as 2 flops.  Matmul operand re-streaming and XLA fusion
     wins are not modeled: this is an analytic estimate, stated as such.
 
@@ -162,10 +167,20 @@ def _roofline(ppd, narray, dt):
     by the pass count of the active ZT_FFT_PRECISION (highest=6, high=3,
     default=1).  Override with BENCH_PEAK_BF16_TFLOPS / BENCH_HBM_GBS.
     """
+    import jax.numpy as jnp
+
+    from zeldovich_tpu.ops.pallas_fft import use_c2r_pallas, use_zx_folded
+
     G = (ppd // 2 + 1) * ppd * ppd
     fields = 2 * narray
-    flops = (2 * (3 * fields) + 4 * narray) * G * ppd * 2.0
-    hbm_bytes = (32 + 2 * 64 + 64) * G  # synthesis + z + x + c2r
+    zx_folded = use_zx_folded(jnp.float32, ppd)
+    c2r_folded = use_c2r_pallas(jnp.float32, ppd)
+    zx_macs = (1 if zx_folded else 3) * 2 * fields  # 2 axes
+    c2r_macs = (2 if c2r_folded else 4) * narray
+    flops = (zx_macs + c2r_macs) * G * ppd * 2.0
+    # synthesis write + z/x (one fused pass or two) + c2r read/write
+    hbm_bytes = (32 + (64 if zx_folded else 128) + 64) * G
+    algo = "folded-pallas" if zx_folded else "xla-matmul"
     peak_bf16 = float(os.environ.get("BENCH_PEAK_BF16_TFLOPS", "197")) * 1e12
     prec = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
     passes = {"highest": 6, "high": 3, "default": 1}[prec]
@@ -173,6 +188,7 @@ def _roofline(ppd, narray, dt):
     peak_hbm = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
     return {
         "fft_precision": prec,
+        "fft_algo": algo,
         "model_tflops": round(flops / dt / 1e12, 2),
         "mxu_util_pct": round(100.0 * flops / dt / peak_f32, 1),
         "model_hbm_gbs": round(hbm_bytes / dt / 1e9, 1),
