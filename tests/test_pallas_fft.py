@@ -136,6 +136,23 @@ def test_tiled_matches_fused(sign):
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("narray", [1, 2, 4])
+def test_kernel_route_lead_shapes(narray):
+    """zx + c2r kernels handle density (1), RVZel (2), PLT (4) leads."""
+    from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
+
+    rng = np.random.default_rng(9)
+    n, h = 16, 8
+    spm = jnp.asarray(
+        rng.normal(size=(narray, 2, 2, h + 1, n, n)), jnp.float32
+    )
+    g = zx_folded_pallas(spm, +1, interpret=True)
+    got = np.asarray(c2r_y_folded_pallas(g, interpret=True))
+    want = np.asarray(mmfft.ifft3_half_pair(spm))
+    assert got.shape == want.shape == (narray, 2, n, n, n)
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
 @pytest.mark.parametrize("sign", [+1, -1])
 def test_y_tiled_matches_xla(sign):
     """y_tiled_pallas == cfft_axis(-3) on the OOC z-slab layout."""
