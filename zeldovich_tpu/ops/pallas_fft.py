@@ -321,32 +321,30 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
     return out.reshape(zslab.shape)
 
 
-def use_y_tiled(dtype, n: int) -> bool:
-    """TPU-only, f32, power-of-two transform lengths."""
+def _gate(dtype, n: int, lo: int, hi: int, knob: str | None = None) -> bool:
+    """Shared kernel-dispatch gate: TPU backend, f32, power-of-two n in
+    [lo, hi] (the reversal butterfly needs a power of two), overridable
+    via ZT_NO_PALLAS_FFT (all kernels) or a kernel-specific knob."""
     import os
 
     return (
         dtype == jnp.float32
         and jax.default_backend() == "tpu"
         and not os.environ.get("ZT_NO_PALLAS_FFT")
-        and not os.environ.get("ZT_NO_PALLAS_TILED")
+        and not (knob and os.environ.get(knob))
         and n & (n - 1) == 0
-        and 128 <= n <= 2048
+        and lo <= n <= hi
     )
+
+
+def use_y_tiled(dtype, n: int) -> bool:
+    """Out-of-core y-transform kernel gate."""
+    return _gate(dtype, n, 128, 2048, "ZT_NO_PALLAS_TILED")
 
 
 def use_zx_tiled(dtype, n: int) -> bool:
-    """TPU-only, f32, power-of-two n above the fused kernel's range."""
-    import os
-
-    return (
-        dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-        and not os.environ.get("ZT_NO_PALLAS_FFT")
-        and not os.environ.get("ZT_NO_PALLAS_TILED")
-        and n & (n - 1) == 0
-        and 512 < n <= 2048
-    )
+    """Two-pass tiled kernel gate: above the fused kernel's range."""
+    return _gate(dtype, n, 1024, 2048, "ZT_NO_PALLAS_TILED")
 
 
 def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
@@ -435,29 +433,10 @@ def c2r_y_folded_pallas(spm, interpret=None):
 
 
 def use_c2r_pallas(dtype, n: int) -> bool:
-    """TPU-only, f32, power-of-two dense sizes (the mirror reversal is
-    the same butterfly as the zx kernel)."""
-    import os
-
-    return (
-        dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-        and not os.environ.get("ZT_NO_PALLAS_FFT")
-        and not os.environ.get("ZT_NO_PALLAS_C2R")
-        and n & (n - 1) == 0
-        and 128 <= n <= 512
-    )
+    """Folded c2r y-transform kernel gate."""
+    return _gate(dtype, n, 128, 512, "ZT_NO_PALLAS_C2R")
 
 
 def use_zx_folded(dtype, n: int) -> bool:
-    """TPU-only, f32, even dense sizes that fit the single-plane VMEM
-    budget (two (n, n) planes + folded temps + matrices < ~12 MB)."""
-    import os
-
-    return (
-        dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-        and not os.environ.get("ZT_NO_PALLAS_FFT")
-        and n & (n - 1) == 0  # the reversal butterfly needs a power of two
-        and 128 <= n <= 512
-    )
+    """Fused single-plane kernel gate (the per-plane VMEM budget caps n)."""
+    return _gate(dtype, n, 128, 512)
