@@ -259,3 +259,43 @@ def test_pair_mode_matches(tmp_path):
         assert m.slab < p2.ppd
         m.run()
         compare_outputs(p1, p2)
+
+
+def test_forced_pallas_routing_matches_xla(tmp_path, monkeypatch):
+    """TPU slab-kernel routing (interpret mode via ZT_PALLAS_FORCE) ==
+    the XLA slab kernels, end-to-end at a gate-eligible grid (128)."""
+    import jax.numpy as jnp
+
+    import zeldovich_tpu.models.outofcore as ooc
+
+    p1 = make_params(tmp_path / "a", NP=128**3, CPD=128)
+    OutOfCoreZeldovich(p1, slab_bytes=1 << 22, dtype=jnp.float32).run()
+
+    monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
+    from zeldovich_tpu.ops.pallas_fft import use_y_tiled, use_zx_folded
+
+    assert use_zx_folded(jnp.float32, 128) and use_y_tiled(jnp.float32, 128)
+    for f in (ooc._synth_ifft_zx_pair, ooc._ifft_y_pair,
+              ooc._fwd_y_phi_nl_pair, ooc._fwd_zx_pair):
+        f.clear_cache()
+    try:
+        p2 = make_params(tmp_path / "b", NP=128**3, CPD=128)
+        OutOfCoreZeldovich(p2, slab_bytes=1 << 22, dtype=jnp.float32).run()
+    finally:
+        monkeypatch.delenv("ZT_PALLAS_FORCE")
+        for f in (ooc._synth_ifft_zx_pair, ooc._ifft_y_pair,
+                  ooc._fwd_y_phi_nl_pair, ooc._fwd_zx_pair):
+            f.clear_cache()
+
+    for fa in sorted(p1.output_path.glob("ic_*")):
+        ra = read_particles(fa, p1.ICFormat)
+        rb = read_particles(p2.output_path / fa.name, p2.ICFormat)
+        np.testing.assert_array_equal(ra["i"], rb["i"])
+        scale = max(np.abs(ra["displ"]).max(), 1e-30)
+        np.testing.assert_allclose(
+            rb["displ"], ra["displ"], atol=2e-5 * scale, rtol=0
+        )
+        vscale = max(np.abs(ra["vel"]).max(), 1e-30)
+        np.testing.assert_allclose(
+            rb["vel"], ra["vel"], atol=2e-5 * vscale, rtol=0
+        )

@@ -324,12 +324,17 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
 def _gate(dtype, n: int, lo: int, hi: int, knob: str | None = None) -> bool:
     """Shared kernel-dispatch gate: TPU backend, f32, power-of-two n in
     [lo, hi] (the reversal butterfly needs a power of two), overridable
-    via ZT_NO_PALLAS_FFT (all kernels) or a kernel-specific knob."""
+    via ZT_NO_PALLAS_FFT (all kernels) or a kernel-specific knob.
+    ZT_PALLAS_FORCE=1 waives the backend check (tests: exercises the TPU
+    routing on CPU, where the kernels run in interpret mode)."""
     import os
 
     return (
         dtype == jnp.float32
-        and jax.default_backend() == "tpu"
+        and (
+            jax.default_backend() == "tpu"
+            or os.environ.get("ZT_PALLAS_FORCE") == "1"
+        )
         and not os.environ.get("ZT_NO_PALLAS_FFT")
         and not (knob and os.environ.get(knob))
         and n & (n - 1) == 0
