@@ -136,6 +136,23 @@ def test_tiled_matches_fused(sign):
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
+def test_forced_routing_half_step(monkeypatch):
+    """ifft3_half_pair's TPU routing (ZT_PALLAS_FORCE, interpret) == the
+    XLA route on the same input -- the bench-path dispatch itself."""
+    from zeldovich_tpu.ops.pallas_fft import use_c2r_pallas, use_zx_folded
+
+    rng = np.random.default_rng(12)
+    n, h = 128, 64
+    spm = jnp.asarray(
+        rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32
+    )
+    want = np.asarray(mmfft.ifft3_half_pair(spm))
+    monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
+    assert use_zx_folded(spm.dtype, n) and use_c2r_pallas(spm.dtype, n)
+    got = np.asarray(mmfft.ifft3_half_pair(spm))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
 @pytest.mark.parametrize("narray", [1, 2, 4])
 def test_kernel_route_lead_shapes(narray):
     """zx + c2r kernels handle density (1), RVZel (2), PLT (4) leads."""
