@@ -256,7 +256,12 @@ def _end_to_end(param, step, ppd):
 def main():
     timeout = int(os.environ.get("BENCH_TIMEOUT", "1500"))
     attempts = [dict(os.environ)]
-    # fallback: CPU backend (also skip any accelerator plugin registration)
+    # fallback 1: same device, Pallas kernels off (the pure-XLA matmul
+    # route) -- isolates a kernel-compile failure from a device outage
+    xla_env = dict(os.environ)
+    xla_env.update(ZT_NO_PALLAS_FFT="1", ZT_NO_PALLAS="1")
+    attempts.append(xla_env)
+    # fallback 2: CPU backend (skip any accelerator plugin registration)
     cpu_env = dict(os.environ)
     cpu_env.update(
         JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", BENCH_FALLBACK="cpu"
@@ -264,7 +269,13 @@ def main():
     attempts.append(cpu_env)
 
     result = None
+    device_timed_out = False
     for env in attempts:
+        if device_timed_out and "BENCH_FALLBACK" not in env:
+            # a timeout means the device is unreachable, not that the
+            # program failed: retrying another route on the same device
+            # would only burn another full timeout
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--child"],
@@ -279,6 +290,7 @@ def main():
                 f"(platform env JAX_PLATFORMS={env.get('JAX_PLATFORMS')})",
                 file=sys.stderr,
             )
+            device_timed_out = True
             continue
         for line in proc.stdout.splitlines():
             try:
