@@ -185,3 +185,63 @@ def test_pack_kernel_through_transforms():
     got = np.asarray(mmfft.ifft3_half_pair(spm))
     want = np.asarray(model.xspace_pair())
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("case", ["plain", "density", "fixed"])
+def test_mega_kernel_matches_composition(case):
+    """halfspace_pack_zx_pallas (interpret) == pack + ky0-fix + XLA z/x
+    transforms, at f32 tolerance (folding reorders the contractions)."""
+    import jax.numpy as jnp
+
+    from zeldovich_tpu.ops import mmfft
+    from zeldovich_tpu.ops.modes_real import synthesize_half_pair
+    from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
+
+    over = {}
+    if case == "density":
+        over["ZD_qdensity"] = 2
+    if case == "fixed":
+        over["ZD_qPk_fix_to_mean"] = 1
+    model = _model(ppd=16, **over)
+    cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+    assert tables.mzx is not None and pk_eff is not None
+
+    spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
+    re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(re, im, ax, +1)
+    want = np.asarray(jnp.stack([re, im], axis=-4))
+
+    got = np.asarray(
+        halfspace_pack_zx_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+            interpret=True,
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_mega_forward_route(monkeypatch):
+    """The ZT_PALLAS_MEGA forward route == the default route, end-to-end
+    through Zeldovich.xspace_half_pair (CPU interpret via ZT_PALLAS_FORCE)."""
+    from zeldovich_tpu.models import pipeline as pl_mod
+    from zeldovich_tpu.ops.modes_real import use_mega_forward
+
+    model = _model(ppd=128, NP=128**3, CPD=128)
+    want = np.asarray(model.xspace_half_pair())
+
+    monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
+    monkeypatch.setenv("ZT_PALLAS_MEGA", "1")
+    assert use_mega_forward(
+        model.cfg, model.tables, jnp.float32, model.pk_eff
+    )
+    pl_mod._half_pair_forward.clear_cache()
+    try:
+        got = np.asarray(model.xspace_half_pair())
+    finally:
+        monkeypatch.delenv("ZT_PALLAS_MEGA")
+        monkeypatch.delenv("ZT_PALLAS_FORCE")
+        pl_mod._half_pair_forward.clear_cache()
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())

@@ -424,8 +424,19 @@ def _ifft_all(kgrid):
 def _half_pair_forward(cfg, tables, pk_eff, dtype):
     """Fused half-spectrum forward step (synthesis + c2r matmul iFFT)."""
     from ..ops import mmfft
-    from ..ops.modes_real import synthesize_half_pair
+    from ..ops.modes_real import synthesize_half_pair, use_mega_forward
 
+    if use_mega_forward(cfg, tables, dtype, pk_eff):
+        from ..ops.pallas_fft import c2r_y_folded_pallas, use_c2r_pallas
+        from ..ops.pallas_synth import halfspace_pack_zx_pallas
+
+        g = halfspace_pack_zx_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+        )
+        if use_c2r_pallas(g.dtype, cfg.ppd):
+            return c2r_y_folded_pallas(g)
+        return mmfft.c2r_y_pair(g)
     spm = synthesize_half_pair(cfg, tables, dtype=dtype, pk_eff=pk_eff)
     return mmfft.ifft3_half_pair(spm)
 

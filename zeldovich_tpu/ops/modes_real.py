@@ -433,11 +433,31 @@ def _use_pallas_pack(cfg, tables, dtype, pk_eff) -> bool:
     """
     return (
         _use_pallas(dtype)
-        and jax.default_backend() == "tpu"
+        and (
+            jax.default_backend() == "tpu"
+            # test hook: exercise the TPU routing on CPU (interpret mode)
+            or os.environ.get("ZT_PALLAS_FORCE") == "1"
+        )
         and not os.environ.get("ZT_NO_PALLAS_PACK")
         and tables.mzx is not None
         and pk_eff is not None
         and not cfg.qPLT
+    )
+
+
+def use_mega_forward(cfg, tables, dtype, pk_eff) -> bool:
+    """Gate for the fused synth+pack+zx mega kernel (ZT_PALLAS_MEGA=1).
+
+    Opt-in until validated on hardware: the fused form holds full
+    (Z, X) planes plus the draw-chain temporaries in VMEM at once, a
+    footprint the separate kernels never reach.  Requires every
+    _use_pallas_pack condition plus the folded-transform gate."""
+    from .pallas_fft import use_zx_folded
+
+    return (
+        os.environ.get("ZT_PALLAS_MEGA") == "1"
+        and _use_pallas_pack(cfg, tables, dtype, pk_eff)
+        and use_zx_folded(dtype, cfg.ppd)
     )
 
 

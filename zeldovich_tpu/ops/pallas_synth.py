@@ -504,3 +504,192 @@ def halfspace_boxmuller_pallas(
         interpret=interpret,
     )(*args)
     return re, im
+
+
+# ---------------------------------------------------------------------------
+# Mega kernel: draw chain + field math + pm-packing + ky=0 self-conjugate
+# fixup + BOTH in-plane folded DFTs, one HBM write for the whole k-side of
+# the half-spectrum step.  Composes _pack_grid_kernel's synthesis body with
+# pallas_fft's folded transform; the spectrum array (2.2 GB at 512^3) never
+# exists in HBM untransformed.  Opt-in via ZT_PALLAS_MEGA=1 until validated
+# on hardware (kept off the default route so a Mosaic regression cannot
+# break the known-good kernel pipeline).
+# ---------------------------------------------------------------------------
+
+
+def _reflect2d(p, interp):
+    """p[(n-z) % n, (n-x) % n] in VMEM (modes_fast._reflect_zx)."""
+    if interp:
+        for ax in (0, 1):
+            p = jnp.roll(jnp.flip(p, axis=ax), 1, axis=ax)
+        return p
+    from .pallas_fft import _rev_rows
+
+    p = pltpu.roll(_rev_rows(p, interp), jnp.int32(1), 0)
+    p = pltpu.roll(_rev_rows(p.T, interp).T, jnp.int32(1), 1)
+    return p
+
+
+def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
+                    cc_ref, ss_ref, alt_ref, out_ref, *, fixed_power, fdt,
+                    fund, half, ppd, just_density, prec, interp):
+    from .pallas_fft import _folded_axis0
+
+    y = pl.program_id(0)
+    narray = 1 if just_density else 2
+
+    @pl.when(y >= half)
+    def _():
+        # the appended y-Nyquist row: exact +0.0
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(do_fix):
+        m = (m0[...], m1[...], m2[...], m3[...])
+        c = (c0[...], c1[...], c2[...], c3[...])
+        plane = tuple(plane_ref[y, j] for j in range(4))
+        s = _madd128(m, tuple(jnp.full_like(m[0], p) for p in plane), c)
+        D_re, D_im = _draw_chain(*s, pk_ref[0], fdt(1.0), fixed_power, fdt)
+
+        shape = D_re.shape  # (Z, X)
+        zg = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kz = jnp.where(zg > half, zg - ppd, zg)
+        kx = jnp.where(xg > half, xg - ppd, xg)
+        ky = y
+
+        def packings(Dp, Fp):
+            # _pack_pm's expressions, verbatim
+            return (
+                (Dp[0] - Fp[1], Dp[1] + Fp[0]),  # sp = D + iF
+                (Dp[0] + Fp[1], Dp[1] - Fp[0]),  # sm = D - iF
+            )
+
+        if just_density:
+            zero = jnp.zeros(shape, fdt)
+            arrays = [packings((D_re, D_im), (zero, zero))]
+        else:
+            # _finish_fields' expressions (non-PLT: rescale = f = 1)
+            n2 = kx * kx + ky * ky + kz * kz
+            k2 = n2.astype(fdt) * fdt(fund) ** 2
+            ik2 = jnp.where(
+                n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
+            )
+            scale = fdt(1.0) * fdt(fund) * ik2
+            cx = kx.astype(fdt) * scale
+            cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
+            cz = kz.astype(fdt) * scale
+            F = (-cx * D_im, cx * D_re)
+            G = (-cy * D_im, cy * D_re)
+            H = (-cz * D_im, cz * D_re)
+            arrays = [
+                packings((D_re, D_im), F),   # A = D + iF
+                packings(G, H),              # B = G + iH
+            ]
+
+        if do_fix:
+            # _fix_ky0_packed's expressions on the resident ky=0 plane
+            fixm = (zg > half) | ((zg == 0) & (xg > half))
+            orig = (zg == 0) & (xg == 0)
+            zero = jnp.zeros((), fdt)
+
+            def fixed0(a, o):
+                p_re = jnp.where(fixm, _reflect2d(o[0], interp), a[0])
+                p_im = jnp.where(fixm, -_reflect2d(o[1], interp), a[1])
+                return (
+                    jnp.where(orig, zero, p_re),
+                    jnp.where(orig, zero, p_im),
+                )
+
+            arrays = [
+                (fixed0(sp, sm), fixed0(sm, sp)) for sp, sm in arrays
+            ]
+
+        Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
+        sg = fdt(1.0)  # inverse (FFTW +1) convention
+        for a, (sp, sm) in enumerate(arrays):
+            for pm, (re, im) in enumerate((sp, sm)):
+                re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec,
+                                       interp)
+                re, im = _folded_axis0(re.T, im.T, Cc, Ss, alt, sg, prec,
+                                       interp)
+                j = (a * 2 + pm) * 2
+                out_ref[j + 0, 0] = re.T
+                out_ref[j + 1, 0] = im.T
+
+    @pl.when(y == 0)
+    def _():
+        body(do_fix=True)
+
+    @pl.when((y > 0) & (y < half))
+    def _():
+        body(do_fix=False)
+
+
+@partial(jax.jit, static_argnames=("cfg", "fixed_power", "just_density",
+                                   "interpret"))
+def halfspace_pack_zx_pallas(
+    cfg, planes, mzx, czx, pk, fixed_power=False, just_density=False,
+    interpret=None,
+):
+    """Fused synthesis + packing + ky=0 fixup + in-plane (z, x) DFTs.
+
+    Same inputs as halfspace_pack_pallas; returns the TRANSFORMED
+    half-spectrum (narray, 2, 2, half+1, Z, X) -- i.e. what
+    zx_folded_pallas(_fix_ky0_packed(pack(...))) produces -- ready for
+    the c2r y-transform.  Tolerance-equal (not bit-equal) to that
+    composition: folding changes the contraction order at the ulp level.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from .pallas_fft import _fold_mats
+    from ..ops.mmfft import _resolve_precision
+
+    fdt = pk.dtype.type
+    half, Z, X = pk.shape
+    narray = 1 if just_density else 2
+    planes = jnp.stack(list(planes), axis=-1)  # (half, 4)
+    Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(Z))
+    prec = _resolve_precision(None)
+
+    nj = narray * 4
+    grid = (half + 1,)
+
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    hm1 = half - 1
+    pkspec = pl.BlockSpec(
+        (1, Z, X), lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0))
+    )
+    mspec = pl.BlockSpec((Z, X), lambda y: (i32(0), i32(0)))
+    pspec = pl.BlockSpec(
+        planes.shape, lambda y: (i32(0), i32(0)), memory_space=pltpu.SMEM
+    )
+    matspec = lambda shp: pl.BlockSpec(
+        shp, lambda y: tuple(i32(0) for _ in shp)
+    )
+    ospec = pl.BlockSpec(
+        (nj, 1, Z, X), lambda y: (i32(0), i32(y), i32(0), i32(0))
+    )
+
+    out = pl.pallas_call(
+        partial(
+            _pack_zx_kernel,
+            fixed_power=fixed_power,
+            fdt=fdt,
+            fund=cfg.fundamental,
+            half=half,
+            ppd=cfg.ppd,
+            just_density=just_density,
+            prec=prec,
+            interp=interpret,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nj, half + 1, Z, X), pk.dtype),
+        grid=grid,
+        in_specs=[pspec] + [mspec] * 8 + [pkspec]
+        + [matspec(Cc.shape), matspec(Ss.shape), matspec(alt.shape)],
+        out_specs=ospec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(planes, *mzx, *czx, pk, Cc, Ss, alt)
+    return out.reshape(narray, 2, 2, half + 1, Z, X)
