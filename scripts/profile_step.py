@@ -84,6 +84,16 @@ def run(tables, pk_eff, stage: str):
             cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
             fixed_power=cfg.fixed_power, just_density=cfg.just_density,
         )
+    if stage == "mega":
+        # the fused synth+pack+zx kernel (ZT_PALLAS_MEGA candidate route)
+        from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
+        from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
+
+        g = halfspace_pack_zx_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+        )
+        return c2r_y_folded_pallas(g)
     spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
     if stage == "synth":
         return spm
@@ -130,12 +140,19 @@ def bracket(stage):
 
 
 res = {"ppd": PPD, "platform": jax.devices()[0].platform}
-for stage in ("draws", "synthraw", "synth", "synth_zx", "full"):
-    res[stage] = round(bracket(stage), 4)
+stages = ["draws", "synthraw", "synth", "synth_zx", "full"]
+if os.environ.get("PROF_MEGA"):
+    stages.append("mega")
+for stage in stages:
+    try:
+        res[stage] = round(bracket(stage), 4)
+    except Exception as e:  # one failing stage must not kill the run
+        res[stage] = f"FAILED: {type(e).__name__}"
     print(json.dumps(res), flush=True)
-res["draws_ms"] = round(res["draws"] * 1e3, 1)
-res["pack_ms"] = round((res["synth"] - res["draws"]) * 1e3, 1)
-res["zx_ms"] = round((res["synth_zx"] - res["synth"]) * 1e3, 1)
-res["c2r_ms"] = round((res["full"] - res["synth_zx"]) * 1e3, 1)
-res["synth_ms"] = round(res["synth"] * 1e3, 1)
+if all(isinstance(res[s], float) for s in stages[:5]):
+    res["draws_ms"] = round(res["draws"] * 1e3, 1)
+    res["pack_ms"] = round((res["synth"] - res["draws"]) * 1e3, 1)
+    res["zx_ms"] = round((res["synth_zx"] - res["synth"]) * 1e3, 1)
+    res["c2r_ms"] = round((res["full"] - res["synth_zx"]) * 1e3, 1)
+    res["synth_ms"] = round(res["synth"] * 1e3, 1)
 print(json.dumps(res), flush=True)

@@ -115,3 +115,52 @@ if os.environ.get("VAL_1024", "1") != "0":
             f"c2r n=1024: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
             flush=True,
         )
+
+# -- mega kernel on-chip parity at 512 (opt-out: VAL_MEGA=0) ---------------
+if os.environ.get("VAL_MEGA", "1") != "0":
+    try:
+        import jax.numpy as jnp
+
+        from zeldovich_tpu.models.pipeline import Zeldovich
+        from zeldovich_tpu.ops.modes_real import synthesize_half_pair
+        from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
+        from zeldovich_tpu.utils.params import Parameters
+
+        assets = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+        ppd = int(os.environ.get("VAL_MEGA_PPD", "512"))
+        param = Parameters.from_dict(
+            dict(
+                BoxSize=720.0, NP=ppd**3, CPD=ppd, ICFormat="RVZel",
+                InitialConditionsDirectory="/tmp/val_mega",
+                InitialRedshift=49.0, ZD_Seed=12346, ZD_NumBlock=2,
+                ZD_Pk_scale=1.0, ZD_Pk_norm=8.0,
+                ZD_Pk_sigma=0.0210839935761, ZD_Pk_smooth=0.0,
+                ZD_Pk_filename=str(assets / "wmap1new.pow"), ZD_Version=2,
+            )
+        )
+        model = Zeldovich(param, dtype=jnp.float32)
+        cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+
+        @jax.jit
+        def diff_mega(tables, pk_eff):
+            g = halfspace_pack_zx_pallas(
+                cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+                fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+            )
+            spm = synthesize_half_pair(
+                cfg, tables, dtype=jnp.float32, pk_eff=pk_eff
+            )
+            re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+            for ax in (-2, -1):
+                re, im = mmfft.cfft_axis(re, im, ax, +1)
+            b = jnp.stack([re, im], axis=-4)
+            return jnp.abs(g - b).max(), jnp.abs(b).max()
+
+        t0 = time.time()
+        d, m = (float(np.asarray(v)) for v in diff_mega(tables, pk_eff))
+        print(
+            f"mega {ppd}: rel={d / m:.3e} ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"mega probe FAILED: {type(e).__name__}: {e}", flush=True)
