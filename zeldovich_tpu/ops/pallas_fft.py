@@ -168,6 +168,7 @@ def zx_folded_pallas(spm, sign: int = +1, interpret=None):
     mspec = lambda shape: pl.BlockSpec(
         shape, lambda i, j: tuple(i32(0) for _ in shape)
     )
+    _assert_mosaic_blocks(((1, 2, 1, n, n), flat.shape))
     out = pl.pallas_call(
         partial(_zx_kernel, sg=np.float32(sign), prec=prec,
                 interp=interpret),
@@ -243,6 +244,9 @@ def zx_tiled_pallas(spm, sign: int = +1, tile: int = 512, interpret=None):
     mspec = lambda shape: pl.BlockSpec(
         shape, lambda i, j, t: tuple(i32(0) for _ in shape)
     )
+    _assert_mosaic_blocks(
+        ((1, 2, 1, n, w), flat.shape), ((1, 2, 1, w, n), flat.shape)
+    )
     mats = [mspec(Cc.shape), mspec(Ss.shape), mspec(alt.shape)]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
@@ -273,15 +277,39 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
     """Folded DFT along axis -3 of (..., 2, Y, Bz, X) -- the out-of-core
     middle-axis (y) transform of a staged z-slab, lane-tiled like
     zx_tiled_pallas.  Same unnormalized FFTW convention as
-    mmfft.cfft_axis(..., -3, sign)."""
+    mmfft.cfft_axis(..., -3, sign).
+
+    The Bz block is 8 thick (Mosaic's sublane rule forbids a 1-thick
+    block unless Bz == 1); inside the kernel the sub-planes are
+    lane-concatenated into dot groups of ~tile columns.  Bz values with
+    no legal blocking (not divisible by 8 and too thick to take whole)
+    fall back to the XLA matmul transform.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n, bz, X = zslab.shape[-3:]
     assert zslab.shape[-4] == 2
-    w = min(tile, X)
-    assert X % w == 0
     lead = zslab.shape[:-4]
     b = int(np.prod(lead)) if lead else 1
+
+    if bz % 8 == 0:
+        bzb = 8
+    elif bz <= 8:
+        bzb = bz  # whole-dim block is always legal
+    else:
+        from . import mmfft
+
+        re, im = mmfft.cfft_axis(
+            zslab[..., 0, :, :, :], zslab[..., 1, :, :, :], -3, sign
+        )
+        return jnp.stack([re, im], axis=-4)
+    # lane tile: full X when it fits the dot-group budget, else the
+    # largest 128-multiple that does (w == X is always legal)
+    w = X
+    while w > 128 and w % 256 == 0 and bzb * w > 8 * tile:
+        w //= 2
+    gz = max(1, tile // w)  # sub-planes per dot group (bounds VMEM temps)
+
     flat = zslab.reshape(b, 2, n, bz, X)
     Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
 
@@ -290,27 +318,31 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
     prec = _resolve_precision(None)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     yspec = pl.BlockSpec(
-        (1, 2, n, 1, w),
+        (1, 2, n, bzb, w),
         lambda i, j, t: (i32(i), i32(0), i32(0), i32(j), i32(t)),
     )
     mspec = lambda shape: pl.BlockSpec(
         shape, lambda i, j, t: tuple(i32(0) for _ in shape)
     )
+    _assert_mosaic_blocks(((1, 2, n, bzb, w), flat.shape))
 
     def kernel(ref, cc_ref, ss_ref, alt_ref, out_ref):
-        re = ref[0, 0, :, 0]
-        im = ref[0, 1, :, 0]
-        r, i = _folded_axis0(
-            re, im, cc_ref[...], ss_ref[...], alt_ref[...],
-            np.float32(sign), prec, interpret,
-        )
-        out_ref[0, 0, :, 0] = r
-        out_ref[0, 1, :, 0] = i
+        Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
+        for g0 in range(0, bzb, gz):
+            zis = range(g0, min(g0 + gz, bzb))
+            re = jnp.concatenate([ref[0, 0, :, zi] for zi in zis], axis=1)
+            im = jnp.concatenate([ref[0, 1, :, zi] for zi in zis], axis=1)
+            r, i = _folded_axis0(
+                re, im, Cc, Ss, alt, np.float32(sign), prec, interpret
+            )
+            for idx, zi in enumerate(zis):
+                out_ref[0, 0, :, zi] = r[:, idx * w:(idx + 1) * w]
+                out_ref[0, 1, :, zi] = i[:, idx * w:(idx + 1) * w]
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(flat.shape, zslab.dtype),
-        grid=(b, bz, X // w),
+        grid=(b, bz // bzb, X // w),
         in_specs=[yspec, mspec(Cc.shape), mspec(Ss.shape), mspec(alt.shape)],
         out_specs=yspec,
         compiler_params=pltpu.CompilerParams(
@@ -352,21 +384,46 @@ def use_zx_tiled(dtype, n: int) -> bool:
     return _gate(dtype, n, 1024, 2048, "ZT_NO_PALLAS_TILED")
 
 
-def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
-    """Folded c2r y-transform of one (z, x) stripe, mirror fused in VMEM.
+def _assert_mosaic_blocks(*specs_arrays):
+    """Trace-time twin of Mosaic's block-shape rule, enforced everywhere.
+
+    Mosaic requires the last two block dims be divisible by (8, 128) or
+    equal the array dims -- but only checks at REAL lowering, which the
+    CPU interpret-mode tests never reach (that is exactly how an illegal
+    z-block-of-1 spec shipped once).  Asserting at trace time makes the
+    interpret suite catch it.
+    """
+    for bs, ars in specs_arrays:
+        if ars[-1] < 128:
+            continue  # toy interpret-test shape; production gates need >=128
+        assert bs[-1] % 128 == 0 or bs[-1] == ars[-1], (bs, ars)
+        assert len(bs) < 2 or bs[-2] % 8 == 0 or bs[-2] == ars[-2], (bs, ars)
+
+
+def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
+                interp):
+    """Folded c2r y-transform of a zb-thick (z, x) stripe, mirror in VMEM.
 
     Same math as mmfft._c2r_y_pair_folded (whose XLA form loses its MAC
     saving to fold/unfold HBM passes): compute output rows y in [0, h]
-    with half-length matmuls, mirror rows y > h in VMEM.
+    with half-length matmuls, mirror rows y > h in VMEM.  The zb z-planes
+    and the D/F stripes are lane-concatenated into ONE double-wide dot
+    per matrix (identical per-column results, longer weight-stationary
+    MXU runs); zb >= 8 keeps the block's sublane dim Mosaic-legal.
     """
-    spr = spm_ref[0, 0, 0, :, 0]
-    spi = spm_ref[0, 0, 1, :, 0]
-    smr = spm_ref[0, 1, 0, :, 0]
-    smi = spm_ref[0, 1, 1, :, 0]
     Cm, Sm, alt = cm_ref[...], sm_ref[...], alt_ref[...]
-    h = spr.shape[0] - 1
-    twoDr, twoDi = spr + smr, spi + smi
-    twoFr, twoFi = spi - smi, smr - spr
+    h = spm_ref.shape[3] - 1
+    X = spm_ref.shape[5]
+    cols_a, cols_b = [], []
+    for zi in range(zb):
+        spr = spm_ref[0, 0, 0, :, zi]
+        spi = spm_ref[0, 0, 1, :, zi]
+        smr = spm_ref[0, 1, 0, :, zi]
+        smi = spm_ref[0, 1, 1, :, zi]
+        cols_a += [spr + smr, spi - smi]  # twoDr, twoFr
+        cols_b += [spi + smi, smr - spr]  # twoDi, twoFi
+    a = jnp.concatenate(cols_a, axis=1)
+    b = jnp.concatenate(cols_b, axis=1)
     dot = partial(
         lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -374,19 +431,15 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, prec, interp):
         preferred_element_type=jnp.float32,
     )
     halfc = jnp.float32(0.5)
-    # the D and F stripes share the c2r matrices: batch both into one
-    # double-width dot per matrix (identical per-column results)
-    X = spr.shape[1]
-    a = jnp.concatenate([twoDr, twoFr], axis=1)
-    b = jnp.concatenate([twoDi, twoFi], axis=1)
     P = dot(Cm, a[1:h]) + halfc * a[0:1] + halfc * alt * a[h:h + 1]
     Q = dot(Sm, b[1:h])
     top = P + Q  # y = 0..h
     T = P - Q  # out[y > h] = T[n - y]
     V = jnp.concatenate([T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], axis=0)
     full = jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
-    out_ref[0, 0, :, 0] = full[:, :X]
-    out_ref[0, 1, :, 0] = full[:, X:]
+    for zi in range(zb):
+        out_ref[0, 0, :, zi] = full[:, (2 * zi) * X:(2 * zi + 1) * X]
+        out_ref[0, 1, :, zi] = full[:, (2 * zi + 1) * X:(2 * zi + 2) * X]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -411,22 +464,32 @@ def c2r_y_folded_pallas(spm, interpret=None):
     alt = jnp.asarray(alt3[..., 0])  # (h+1, 1)
     Cm, Sm = jnp.asarray(Cm), jnp.asarray(Sm)
     prec = _resolve_precision(None)
+    # z-block of 8 (Mosaic sublane rule); lane tile sized so the
+    # concatenated dot width zb*2*Xb stays ~4096 (VMEM and MXU sweet spot)
+    zb = 8 if Z % 8 == 0 else Z
+    Xb = X
+    while Xb > 128 and Xb % 256 == 0 and zb * 2 * Xb > 4096:
+        Xb //= 2
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     in_spec = pl.BlockSpec(
-        (1, 2, 2, hp1, 1, X),
-        lambda i, j: (i32(i), i32(0), i32(0), i32(0), i32(j), i32(0)),
+        (1, 2, 2, hp1, zb, Xb),
+        lambda i, j, t: (i32(i), i32(0), i32(0), i32(0), i32(j), i32(t)),
     )
     out_spec = pl.BlockSpec(
-        (1, 2, n, 1, X),
-        lambda i, j: (i32(i), i32(0), i32(0), i32(j), i32(0)),
+        (1, 2, n, zb, Xb),
+        lambda i, j, t: (i32(i), i32(0), i32(0), i32(j), i32(t)),
     )
     mspec = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: tuple(i32(0) for _ in shape)
+        shape, lambda i, j, t: tuple(i32(0) for _ in shape)
+    )
+    _assert_mosaic_blocks(
+        ((1, 2, 2, hp1, zb, Xb), flat.shape),
+        ((1, 2, n, zb, Xb), (b, 2, n, Z, X)),
     )
     out = pl.pallas_call(
-        partial(_c2r_kernel, prec=prec, interp=interpret),
+        partial(_c2r_kernel, zb=zb, prec=prec, interp=interpret),
         out_shape=jax.ShapeDtypeStruct((b, 2, n, Z, X), spm.dtype),
-        grid=(b, Z),
+        grid=(b, Z // zb, X // Xb),
         in_specs=[in_spec, mspec(Cm.shape), mspec(Sm.shape), mspec(alt.shape)],
         out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(

@@ -670,6 +670,12 @@ def halfspace_pack_zx_pallas(
         (nj, 1, Z, X), lambda y: (i32(0), i32(y), i32(0), i32(0))
     )
 
+    from .pallas_fft import _assert_mosaic_blocks
+
+    _assert_mosaic_blocks(
+        ((1, Z, X), (half, Z, X)),
+        ((nj, 1, Z, X), (nj, half + 1, Z, X)),
+    )
     out = pl.pallas_call(
         partial(
             _pack_zx_kernel,
