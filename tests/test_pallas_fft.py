@@ -199,3 +199,23 @@ def test_c2r_folded_matches_plain():
     )
     want = np.asarray(mmfft.c2r_y_pair(spm))
     np.testing.assert_allclose(got, want, atol=4e-7 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("bz", [1, 3, 4, 8, 12, 16])
+def test_y_tiled_bz_blocking(bz):
+    """Every Bz thickness takes a Mosaic-legal route (8-block, whole-dim
+    block, or the XLA fallback) and agrees with cfft_axis(-3).
+
+    Regression for the 1-thick z-block specs that only the real TPU
+    lowering rejects: n/X here are >= 128 so the trace-time block check
+    (pallas_fft._assert_mosaic_blocks) is armed.
+    """
+    from zeldovich_tpu.ops.pallas_fft import y_tiled_pallas
+
+    rng = np.random.default_rng(bz)
+    n = X = 128
+    zslab = jnp.asarray(rng.normal(size=(2, n, bz, X)), jnp.float32)
+    got = np.asarray(y_tiled_pallas(zslab, +1, interpret=True))
+    re, im = mmfft.cfft_axis(zslab[0], zslab[1], -3, +1)
+    want = np.asarray(jnp.stack([re, im]))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
