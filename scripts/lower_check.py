@@ -1,0 +1,120 @@
+"""Client-side Mosaic lowering sweep of every TPU kernel route.
+
+``jax.jit(f).lower(ShapeDtypeStruct)`` runs Pallas->Mosaic lowering —
+including the block-shape legality checks — entirely on the client, with
+no device data and no remote compile.  Through the slow axon tunnel this
+turns a 10-minute compile-and-crash loop into a seconds-long static
+check; run it after ANY kernel or BlockSpec change, before burning a
+real compile.
+
+Covers the standalone kernels at every gated production shape plus the
+fused product steps (half-spectrum forward with and without the mega
+route) at 512^3.  Exit code 1 if anything fails to lower.
+
+Usage: python scripts/lower_check.py   (needs the TPU backend visible,
+       i.e. the default axon env; lowering itself stays local)
+"""
+
+import sys
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+S = jax.ShapeDtypeStruct
+f32 = jnp.float32
+failures = []
+
+
+def check(name, fn, *specs):
+    try:
+        jax.jit(fn).lower(*specs)
+        print(f"{name}: lower-ok", flush=True)
+    except Exception as e:
+        failures.append(name)
+        print(f"{name}: FAIL {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+def main():
+    from zeldovich_tpu.ops.pallas_fft import (
+        c2r_y_folded_pallas,
+        y_tiled_pallas,
+        zx_folded_pallas,
+        zx_tiled_pallas,
+    )
+
+    for n in (128, 256, 512):  # fused-kernel gate range
+        h = n // 2
+        check(
+            f"c2r_{n}", partial(c2r_y_folded_pallas, interpret=False),
+            S((2, 2, 2, h + 1, n, n), f32),
+        )
+        check(
+            f"zx_folded_{n}", partial(zx_folded_pallas, sign=1, interpret=False),
+            S((2, 2, h + 1, n, n), f32),
+        )
+    for n in (1024, 2048):  # lane-tiled gate range (out-of-core slabs)
+        check(
+            f"zx_tiled_{n}", partial(zx_tiled_pallas, sign=1, interpret=False),
+            S((2, 2, 4, n, n), f32),
+        )
+        for bz in (4, 8, 32):
+            check(
+                f"y_tiled_{n}_bz{bz}",
+                partial(y_tiled_pallas, sign=1, interpret=False),
+                S((2, 2, n, bz, n), f32),
+            )
+
+    # the fused product steps at the bench shape (synthesis kernels + the
+    # folded transforms + their composition, exactly as _half_pair_forward
+    # dispatches them)
+    from zeldovich_tpu.models.pipeline import Zeldovich, _half_pair_forward
+    from zeldovich_tpu.utils.params import Parameters
+
+    assets = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
+    ppd = 512
+    param = Parameters.from_dict(
+        dict(
+            BoxSize=720.0, NP=ppd**3, CPD=ppd, ICFormat="RVZel",
+            InitialConditionsDirectory="/tmp/lower_check",
+            InitialRedshift=49.0, ZD_Seed=12346, ZD_NumBlock=2,
+            ZD_Pk_scale=1.0, ZD_Pk_norm=8.0, ZD_Pk_sigma=0.0210839935761,
+            ZD_Pk_smooth=0.0, ZD_Pk_filename=str(assets / "wmap1new.pow"),
+            ZD_Version=2,
+        )
+    )
+    model = Zeldovich(param, dtype=jnp.float32)
+    cfg, tables = model.cfg, model.tables
+    pk_spec = jax.eval_shape(lambda: model.pk_eff)
+
+    check(
+        f"half_pair_forward_{ppd}",
+        partial(_half_pair_forward, cfg, dtype=jnp.float32),
+        jax.tree.map(lambda x: S(x.shape, x.dtype), tables),
+        pk_spec,
+    )
+
+    import os
+
+    os.environ["ZT_PALLAS_MEGA"] = "1"
+    check(
+        f"half_pair_forward_mega_{ppd}",
+        partial(_half_pair_forward, cfg, dtype=jnp.float32),
+        jax.tree.map(lambda x: S(x.shape, x.dtype), tables),
+        pk_spec,
+    )
+
+    if failures:
+        print("FAILED:", ", ".join(failures))
+        return 1
+    print("all routes lower clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
