@@ -132,6 +132,62 @@ def test_corner_cutoff_routes_to_full_grid():
         model.kspace_half_pair()
 
 
+def test_c2r_y_pair_z_sliced():
+    """c2r_y_pair on a Z-sliced stripe == the full-grid result sliced.
+
+    The transform length must come from the ky axis (2*(h+1-1)), never
+    the Z extent: out-of-core stripes and validation probes pass blocks
+    whose Z extent differs from the grid size (this inference bug is what
+    crashed the round-3 1024-class c2r probe).  Covers the dense matmul,
+    folded, and df64 forms.
+    """
+    from zeldovich_tpu.ops import mmfft
+
+    rng = np.random.default_rng(23)
+    n, h, Z, X = 16, 8, 4, 16  # Z extent != transform length on purpose
+    D = rng.normal(size=(n, n, X))
+    F = rng.normal(size=(n, n, X))
+    Dk = np.fft.fft(D, axis=-3)
+    Fk = np.fft.fft(F, axis=-3)
+    sp = (Dk + 1j * Fk)[: h + 1]
+    sm = (Dk - 1j * Fk)[: h + 1]
+    spm = np.stack(
+        [np.stack([sp.real, sp.imag]), np.stack([sm.real, sm.imag])]
+    )  # (2, 2, h+1, n, X)
+    full = np.asarray(mmfft.c2r_y_pair(jnp.asarray(spm)))
+    stripe = np.asarray(mmfft.c2r_y_pair(jnp.asarray(spm[..., 2 : 2 + Z, :])))
+    assert stripe.shape == (2, n, Z, X)
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(
+        stripe, full[..., 2 : 2 + Z, :], atol=1e-12 * scale, rtol=0
+    )
+    # folded XLA form (ZT_FOLD_C2R experiment route): f32 matrices by
+    # design (the TPU kernel twin), so f32-grade tolerance
+    import jax
+
+    folded = np.asarray(
+        mmfft._c2r_y_pair_folded(
+            jnp.asarray(spm[..., 2 : 2 + Z, :]), jax.lax.Precision.HIGHEST
+        )
+    )
+    np.testing.assert_allclose(
+        folded, full[..., 2 : 2 + Z, :], atol=1e-6 * scale, rtol=0
+    )
+    # df64 pair form (the --dtype df64 transform path)
+    s32 = jnp.asarray(spm[..., 2 : 2 + Z, :], jnp.float32)
+    z = jnp.zeros_like(s32[..., 0, :, :, :])
+    rep = (s32[..., 0, :, :, :], z)
+    imp = (s32[..., 1, :, :, :], z)
+    out_re, out_im = mmfft._c2r_y_df64(rep, imp)
+    got64 = np.stack(
+        [np.asarray(mmfft._pair_to_f64(out_re)),
+         np.asarray(mmfft._pair_to_f64(out_im))]
+    )
+    np.testing.assert_allclose(
+        got64, full[..., 2 : 2 + Z, :], atol=2e-6 * scale, rtol=0
+    )
+
+
 def test_c2r_assembled_matches_dense():
     """The four-step-capable assembled c2r (the > DENSE_MAX y path) ==
     the dense [n, h+1] matmul form, and both match numpy ground truth."""

@@ -286,7 +286,7 @@ def _c2r_y_df64(rep, imp):
     DENSE_MAX the full y-spectrum is assembled (exact concatenation of
     pair components) and one four-step pair transform inverts it.
     """
-    n = rep[0].shape[-2]  # Z extent == full grid size
+    n = 2 * (rep[0].shape[-3] - 1)  # ky axis sets the length, not Z
 
     def pm(p, k):  # select +/- packing k of a pair
         return (p[0][..., k, :, :, :], p[1][..., k, :, :, :])
@@ -500,7 +500,7 @@ def _c2r_y_pair_folded(spm, precision):
     the matmul contraction stays a clean multiple of 128 (255 -> 256
     instead of 257 -> 384 lane padding).
     """
-    n = spm.shape[-2]
+    n = 2 * (spm.shape[-3] - 1)  # ky axis sets the length (Z may be sliced)
     h = n // 2
     Cm, Sm, alt = (jnp.asarray(m) for m in _c2r_fold_mats(n))
     spr, spi = spm[..., 0, 0, :, :, :], spm[..., 0, 1, :, :, :]
@@ -541,7 +541,10 @@ def c2r_y_pair(spm, precision=None):
     Hermitian spectrum, inverted with two real [n, h+1] matmuls.
     """
     dtype = spm.dtype
-    n = spm.shape[-2]  # Z extent == full grid size
+    # the transform length is set by the ky axis (h+1 spectrum rows),
+    # NOT the Z extent: callers may pass Z-sliced blocks (out-of-core
+    # stripes, validation probes)
+    n = 2 * (spm.shape[-3] - 1)
     precision = _resolve_precision(precision)
     if n > DENSE_MAX:
         return _c2r_y_pair_assembled(spm, precision)
