@@ -5,7 +5,13 @@ including the block-shape legality checks — entirely on the client, with
 no device data and no remote compile.  Through the slow axon tunnel this
 turns a 10-minute compile-and-crash loop into a seconds-long static
 check; run it after ANY kernel or BlockSpec change, before burning a
-real compile.
+real compile.  bench.py runs this sweep as a gate before recording any
+perf number.
+
+CAVEAT: lowering validates block-shape legality but NOT VMEM fit --
+scoped-vmem OOM only surfaces at real compile.  The kernels therefore
+budget their tile sizes against pallas_fft._VMEM_WINDOW_BUDGET at trace
+time (see the y_tiled/c2r sizing loops).
 
 Covers the standalone kernels at every gated production shape plus the
 fused product steps (half-spectrum forward with and without the mega
@@ -102,12 +108,18 @@ def main():
     import os
 
     os.environ["ZT_PALLAS_MEGA"] = "1"
+    # _half_pair_forward is itself jitted and its trace cache is keyed on
+    # avals, not env vars: without clearing it, this check would silently
+    # re-lower the non-mega trace from the check above
+    _half_pair_forward.clear_cache()
     check(
         f"half_pair_forward_mega_{ppd}",
         partial(_half_pair_forward, cfg, dtype=jnp.float32),
         jax.tree.map(lambda x: S(x.shape, x.dtype), tables),
         pk_spec,
     )
+    del os.environ["ZT_PALLAS_MEGA"]
+    _half_pair_forward.clear_cache()
 
     if failures:
         print("FAILED:", ", ".join(failures))

@@ -219,3 +219,52 @@ def test_y_tiled_bz_blocking(bz):
     re, im = mmfft.cfft_axis(zslab[0], zslab[1], -3, +1)
     want = np.asarray(jnp.stack([re, im]))
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
+def test_y_tile_vmem_budget():
+    """The y_tiled lane tile is budgeted by TOTAL block bytes including
+    the full Y extent, not just the dot-group width.
+
+    Regression for the round-3 VMEM OOM: n = X = 1024 with w = 512
+    needed 149M of the chip's 128M VMEM; the budget must shrink w (and
+    fall back to XLA when even w = 128 cannot fit).
+    """
+    from zeldovich_tpu.ops.pallas_fft import (
+        _VMEM_WINDOW_BUDGET,
+        _win_bytes,
+        _y_tile_w,
+    )
+
+    # the measured-good shape keeps its full-width tile
+    assert _y_tile_w(512, 8, 512, 512) == 512
+    # the measured-OOM shape must shrink until the windows fit
+    w = _y_tile_w(1024, 8, 1024, 512)
+    assert w is not None and w < 512
+    assert _win_bytes(1024, 8, w) <= _VMEM_WINDOW_BUDGET
+    w = _y_tile_w(2048, 8, 2048, 512)
+    assert w is not None
+    assert _win_bytes(2048, 8, w) <= _VMEM_WINDOW_BUDGET
+    # a shape no legal tile can fit falls back (w=128 floor still too big)
+    assert _y_tile_w(16384, 8, 1024, 512) is None
+
+
+def test_y_tiled_oversize_falls_back():
+    """A slab whose smallest lane tile blows VMEM takes the XLA route and
+    still returns correct values (interpret mode; the route must not
+    raise)."""
+    from zeldovich_tpu.ops import pallas_fft
+
+    orig = pallas_fft._VMEM_WINDOW_BUDGET
+    pallas_fft._VMEM_WINDOW_BUDGET = 1  # force the no-tile-fits branch
+    pallas_fft.y_tiled_pallas.clear_cache()  # the budget is read at trace time
+    try:
+        rng = np.random.default_rng(5)
+        n = X = 128
+        zslab = jnp.asarray(rng.normal(size=(2, n, 8, X)), jnp.float32)
+        got = np.asarray(pallas_fft.y_tiled_pallas(zslab, +1, interpret=True))
+    finally:
+        pallas_fft._VMEM_WINDOW_BUDGET = orig
+        pallas_fft.y_tiled_pallas.clear_cache()
+    re, im = mmfft.cfft_axis(zslab[0], zslab[1], -3, +1)
+    want = np.asarray(jnp.stack([re, im]))
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())

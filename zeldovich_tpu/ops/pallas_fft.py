@@ -282,8 +282,9 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
     The Bz block is 8 thick (Mosaic's sublane rule forbids a 1-thick
     block unless Bz == 1); inside the kernel the sub-planes are
     lane-concatenated into dot groups of ~tile columns.  Bz values with
-    no legal blocking (not divisible by 8 and too thick to take whole)
-    fall back to the XLA matmul transform.
+    no legal blocking (not divisible by 8 and too thick to take whole),
+    and shapes whose smallest legal lane tile still blows the VMEM
+    budget, fall back to the XLA matmul transform.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -292,22 +293,23 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
     lead = zslab.shape[:-4]
     b = int(np.prod(lead)) if lead else 1
 
-    if bz % 8 == 0:
-        bzb = 8
-    elif bz <= 8:
-        bzb = bz  # whole-dim block is always legal
-    else:
+    def xla_fallback():
         from . import mmfft
 
         re, im = mmfft.cfft_axis(
             zslab[..., 0, :, :, :], zslab[..., 1, :, :, :], -3, sign
         )
         return jnp.stack([re, im], axis=-4)
-    # lane tile: full X when it fits the dot-group budget, else the
-    # largest 128-multiple that does (w == X is always legal)
-    w = X
-    while w > 128 and w % 256 == 0 and bzb * w > 8 * tile:
-        w //= 2
+
+    if bz % 8 == 0:
+        bzb = 8
+    elif bz <= 8:
+        bzb = bz  # whole-dim block is always legal
+    else:
+        return xla_fallback()
+    w = _y_tile_w(n, bzb, X, tile)
+    if w is None:
+        return xla_fallback()  # no legal lane tile fits VMEM
     gz = max(1, tile // w)  # sub-planes per dot group (bounds VMEM temps)
 
     flat = zslab.reshape(b, 2, n, bz, X)
@@ -384,20 +386,62 @@ def use_zx_tiled(dtype, n: int) -> bool:
     return _gate(dtype, n, 1024, 2048, "ZT_NO_PALLAS_TILED")
 
 
+#: Per-kernel ceiling for the double-buffered in+out block windows.  The
+#: chip's VMEM is 128M and the kernels request vmem_limit_bytes = 100M;
+#: budgeting windows to 80M leaves ~20M for the folded-DFT temporaries.
+#: NOTE: jit(...).lower() (scripts/lower_check.py) validates block-shape
+#: legality but NOT VMEM fit -- that only fails at real compile, which is
+#: why the tile-sizing loops budget against this constant at trace time.
+_VMEM_WINDOW_BUDGET = 80 * 1024 * 1024
+
+
+def _win_bytes(n: int, bzb: int, w: int) -> int:
+    """Double-buffered in+out VMEM bytes of a (2, n, bzb, w) f32 window."""
+    return 4 * (2 * n * bzb * w * 4)
+
+
+def _y_tile_w(n: int, bzb: int, X: int, tile: int) -> int | None:
+    """Lane-tile width for y_tiled_pallas, or None if nothing fits VMEM.
+
+    Full X when it fits the dot-group AND VMEM budgets, else the largest
+    128-multiple that does (w == X is always block-legal).  The VMEM
+    budget must count the full Y extent (n) carried whole in every block
+    (measured on a v5e: n = X = 512 fit, n = X = 1024 needed 149M of the
+    128M VMEM until w was budgeted down); _VMEM_WINDOW_BUDGET leaves
+    headroom for the kernel's (n, gz*w) fold temps.
+    """
+    w = X
+    while (
+        w > 128
+        and w % 256 == 0
+        and (bzb * w > 8 * tile or _win_bytes(n, bzb, w) > _VMEM_WINDOW_BUDGET)
+    ):
+        w //= 2
+    if _win_bytes(n, bzb, w) > _VMEM_WINDOW_BUDGET:
+        return None
+    return w
+
+
 def _assert_mosaic_blocks(*specs_arrays):
     """Trace-time twin of Mosaic's block-shape rule, enforced everywhere.
 
     Mosaic requires the last two block dims be divisible by (8, 128) or
     equal the array dims -- but only checks at REAL lowering, which the
     CPU interpret-mode tests never reach (that is exactly how an illegal
-    z-block-of-1 spec shipped once).  Asserting at trace time makes the
-    interpret suite catch it.
+    z-block-of-1 spec shipped once).  Raising at trace time makes the
+    interpret suite catch it (ValueError, not assert: the check must
+    survive ``python -O``).
     """
     for bs, ars in specs_arrays:
         if ars[-1] < 128:
-            continue  # toy interpret-test shape; production gates need >=128
-        assert bs[-1] % 128 == 0 or bs[-1] == ars[-1], (bs, ars)
-        assert len(bs) < 2 or bs[-2] % 8 == 0 or bs[-2] == ars[-2], (bs, ars)
+            # sub-lane-width arrays only occur in toy interpret-mode test
+            # shapes; every production gate requires n >= 128, so skipping
+            # them never hides a real-lowering shape
+            continue
+        if not (bs[-1] % 128 == 0 or bs[-1] == ars[-1]):
+            raise ValueError(f"Mosaic-illegal lane block {bs} for {ars}")
+        if len(bs) >= 2 and not (bs[-2] % 8 == 0 or bs[-2] == ars[-2]):
+            raise ValueError(f"Mosaic-illegal sublane block {bs} for {ars}")
 
 
 def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
