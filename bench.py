@@ -26,10 +26,17 @@ The measurement runs in a subprocess with a timeout; if the accelerator
 runtime is unreachable (e.g. a wedged device tunnel), it falls back to the
 CPU backend rather than hanging, and labels the metric accordingly.
 
-Env knobs: BENCH_PPD (default 512), BENCH_DTYPE (float32|float64, default
-float32 -- the TPU fast path), BENCH_REPS (default 3), BENCH_TIMEOUT
-(seconds per attempt, default 1500), BENCH_E2E (0 disables the output
-stage), BENCH_E2E_BUDGET (seconds), BENCH_OUTDIR (default /dev/shm).
+Timing: per-step device time comes from an in-jit lax.fori_loop chain
+(one dispatch covers K steps; the remote tunnel's per-dispatch overhead
+cancels in the chain(K)-chain(1) delta).  Every artifact is stamped with
+the kernel route (fft_algo), matmul precision (fft_precision), and which
+fallback-ladder attempt produced it (bench_attempt).
+
+Env knobs: BENCH_PPD (default 512), BENCH_DTYPE (float32|float64|df64,
+default float32 -- the TPU fast path), BENCH_REPS (default 6),
+BENCH_TRIALS (chain-delta repeats, default 3), BENCH_TIMEOUT (seconds
+per attempt, default 1500), BENCH_E2E (0 disables the output stage),
+BENCH_E2E_BUDGET (seconds), BENCH_OUTDIR (default /dev/shm).
 """
 
 import json
@@ -96,37 +103,77 @@ def child():
     )
 
     import numpy as np
+    from jax import lax
 
-    def run_and_fetch():
-        out = step()
-        return np.asarray(out[0, 0, :2, :2, :2])  # forces completion
+    # The measured function, parameterized on pk_eff so the timing chain
+    # below can thread a data dependency through it.
+    if dtype_name == "df64":
+        from zeldovich_tpu.models.pipeline import _half_df64_forward
 
-    probe = run_and_fetch()  # compile + warm-up
+        fwd = lambda pk: _half_df64_forward(model.cfg, model.tables, pk)
+    else:
+        from zeldovich_tpu.models.pipeline import _half_pair_forward
+
+        fwd = lambda pk: _half_pair_forward(model.cfg, model.tables, pk, dtype)
+    pk0 = model.pk_eff
+
+    # Client-side Mosaic lowering gate: kernel block-legality is checked
+    # on the client in seconds, BEFORE burning a slow remote compile.  A
+    # route that cannot lower fails this attempt and the ladder retries
+    # with the kernels off -- stamped as such -- so an unlowerable kernel
+    # can never silently produce an unattributed number.  (Lowering does
+    # not validate VMEM fit; the kernels budget that at trace time.)
+    jax.jit(fwd).lower(jax.ShapeDtypeStruct(pk0.shape, pk0.dtype))
+
+    # Timing: an in-jit chain.  Host-dispatched step loops measure the
+    # remote tunnel's per-dispatch overhead as much as the device (the
+    # same 512^3 step measured 58 ms and 184 ms on the same chip within
+    # 30 minutes with the host-loop method).  A lax.fori_loop carrying a
+    # scalar data dependency (out[0...0] perturbs the next pk_eff by
+    # ~1e-30, far below f32 resolution) runs K steps in ONE dispatch --
+    # no loop-invariant hoisting is possible, every step executes on
+    # device, and the dispatch + scalar-fetch cost cancels exactly in the
+    # (chain(K) - chain(1)) / (K - 1) delta.
+    eps = jnp.asarray(1e-30, pk0.dtype)
+
+    @jax.jit
+    def chain(pk_eff, k):
+        def body(i, carry):
+            out = fwd(pk_eff + carry * eps)
+            return out[(0,) * out.ndim].astype(pk_eff.dtype)
+
+        return lax.fori_loop(0, k, body, jnp.zeros((), pk_eff.dtype))
+
+    probe = np.asarray(chain(pk0, 1))  # compile + warm-up
     assert np.all(np.isfinite(probe)), "non-finite output"
-    assert float(np.abs(probe).mean()) >= 0, "fetch failed"
+    out_probe = step()  # compile the plain step for the e2e stage
+    assert np.all(
+        np.isfinite(np.asarray(out_probe[0, 0, :2, :2, :2]))
+    ), "fetch failed"
 
-    # Timings must be fetch-bracketed: on some remote backends
-    # block_until_ready returns early, so per-step time is derived from the
-    # delta between an N-step chain and a 1-step chain (device executions
-    # serialize, the final fetch drains the queue).
-    t0 = time.perf_counter()
-    run_and_fetch()
-    t_one = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step()
-    np.asarray(out[0, 0, 0, 0, :4])
-    t_chain = time.perf_counter() - t0
-    dt = max((t_chain - t_one) / (reps - 1), 1e-9) if reps > 1 else t_chain
+    K = max(reps, 2) + 1
+    trials = []
+    for _ in range(int(os.environ.get("BENCH_TRIALS", "3"))):
+        t0 = time.perf_counter()
+        np.asarray(chain(pk0, 1))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chain(pk0, K))
+        t_k = time.perf_counter() - t0
+        trials.append(max((t_k - t_one) / (K - 1), 1e-9))
+    dt = min(trials)
 
     result = {
         "ppd": ppd,
         "dtype": dtype_name,
         "seconds": dt,
+        "seconds_trials": [round(t, 4) for t in trials],
+        "timing": f"fori-chain-{K}",
         "mpart_per_sec": param.np / 1e6 / dt,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
+        "bench_attempt": os.environ.get("BENCH_ATTEMPT", "default"),
+        **_route(ppd, dtype_name),
     }
     if dtype_name == "float32" and jax.devices()[0].platform == "tpu":
         # the roofline denominators are accelerator chip peaks; they mean
@@ -139,6 +186,35 @@ def child():
         if e2e is not None:
             result.update(e2e)
     print(json.dumps(result))
+
+
+def _route(ppd, dtype_name):
+    """Which kernel route the step dispatches to -- stamped into the
+    artifact so every recorded number is attributable (round-3 lesson:
+    three mutually inconsistent measurements with no route recorded)."""
+    import jax.numpy as jnp
+
+    from zeldovich_tpu.ops.mmfft import _resolve_precision
+
+    prec = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
+    _resolve_precision(None)  # validate the knob early
+    if dtype_name == "df64":
+        return {"fft_algo": "ozaki-int8-df64", "fft_precision": "df64"}
+    from zeldovich_tpu.ops.pallas_fft import (
+        use_c2r_pallas,
+        use_zx_folded,
+        use_zx_tiled,
+    )
+
+    mega = os.environ.get("ZT_PALLAS_MEGA") == "1"
+    if use_zx_folded(jnp.float32, ppd):
+        zx = "mega" if mega else "pallas-folded"
+    elif use_zx_tiled(jnp.float32, ppd):
+        zx = "pallas-tiled"
+    else:
+        zx = "xla-matmul"
+    c2r = "pallas-c2r" if use_c2r_pallas(jnp.float32, ppd) else "xla-c2r"
+    return {"fft_algo": f"{zx}+{c2r}", "fft_precision": prec}
 
 
 def _roofline(ppd, narray, dt):
@@ -180,15 +256,12 @@ def _roofline(ppd, narray, dt):
     flops = (zx_macs + c2r_macs) * G * ppd * 2.0
     # synthesis write + z/x (one fused pass or two) + c2r read/write
     hbm_bytes = (32 + (64 if zx_folded else 128) + 64) * G
-    algo = "folded-pallas" if zx_folded else "xla-matmul"
     peak_bf16 = float(os.environ.get("BENCH_PEAK_BF16_TFLOPS", "197")) * 1e12
     prec = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
     passes = {"highest": 6, "high": 3, "default": 1}[prec]
     peak_f32 = peak_bf16 / passes
     peak_hbm = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
     return {
-        "fft_precision": prec,
-        "fft_algo": algo,
         "model_tflops": round(flops / dt / 1e12, 2),
         "mxu_util_pct": round(100.0 * flops / dt / peak_f32, 1),
         "model_hbm_gbs": round(hbm_bytes / dt / 1e9, 1),
@@ -255,16 +328,21 @@ def _end_to_end(param, step, ppd):
 
 def main():
     timeout = int(os.environ.get("BENCH_TIMEOUT", "1500"))
-    attempts = [dict(os.environ)]
+    attempts = [dict(os.environ, BENCH_ATTEMPT="default")]
     # fallback 1: same device, Pallas kernels off (the pure-XLA matmul
     # route) -- isolates a kernel-compile failure from a device outage
     xla_env = dict(os.environ)
-    xla_env.update(ZT_NO_PALLAS_FFT="1", ZT_NO_PALLAS="1")
+    xla_env.update(
+        ZT_NO_PALLAS_FFT="1", ZT_NO_PALLAS="1", BENCH_ATTEMPT="xla-fallback"
+    )
     attempts.append(xla_env)
     # fallback 2: CPU backend (skip any accelerator plugin registration)
     cpu_env = dict(os.environ)
     cpu_env.update(
-        JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", BENCH_FALLBACK="cpu"
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        BENCH_FALLBACK="cpu",
+        BENCH_ATTEMPT="cpu-fallback",
     )
     attempts.append(cpu_env)
 
@@ -347,8 +425,19 @@ def main():
         mps = compute_mps
         stage = "synthesis+iFFT; output skipped: tunnel fetch-bound"
         extra = {}
-    # roofline denominator: fraction of the chip the step actually uses
-    for k in ("model_tflops", "mxu_util_pct", "model_hbm_gbs", "hbm_util_pct"):
+    # roofline denominator + route attribution: every recorded number says
+    # which kernel route, matmul precision, and ladder attempt produced it
+    for k in (
+        "fft_algo",
+        "fft_precision",
+        "bench_attempt",
+        "timing",
+        "seconds_trials",
+        "model_tflops",
+        "mxu_util_pct",
+        "model_hbm_gbs",
+        "hbm_util_pct",
+    ):
         if k in result:
             extra[k] = result[k]
     print(
