@@ -70,24 +70,32 @@ def child():
     from zeldovich_tpu.utils.params import Parameters
 
     assets = Path(__file__).parent / "zeldovich_tpu" / "assets"
-    param = Parameters.from_dict(
-        dict(
-            BoxSize=720.0,
-            NP=ppd**3,
-            CPD=ppd,
-            ICFormat="RVZel",
-            InitialConditionsDirectory="/tmp/bench_ic",
-            InitialRedshift=49.0,
-            ZD_Seed=12346,
-            ZD_NumBlock=2,
-            ZD_Pk_scale=1.0,
-            ZD_Pk_norm=8.0,
-            ZD_Pk_sigma=0.0210839935761,
-            ZD_Pk_smooth=0.0,
-            ZD_Pk_filename=str(assets / "wmap1new.pow"),
-            ZD_Version=2,
-        )
+    cfg_dict = dict(
+        BoxSize=720.0,
+        NP=ppd**3,
+        CPD=ppd,
+        ICFormat="RVZel",
+        InitialConditionsDirectory="/tmp/bench_ic",
+        InitialRedshift=49.0,
+        ZD_Seed=12346,
+        ZD_NumBlock=2,
+        ZD_Pk_scale=1.0,
+        ZD_Pk_norm=8.0,
+        ZD_Pk_sigma=0.0210839935761,
+        ZD_Pk_smooth=0.0,
+        ZD_Pk_filename=str(assets / "wmap1new.pow"),
+        ZD_Version=2,
     )
+    if os.environ.get("BENCH_PLT") == "1":
+        # the reference's flagship configuration (example.par: ZD_qPLT=1):
+        # narray=4, eigenmode projection + velocity arrays
+        cfg_dict.update(
+            ZD_qPLT=1,
+            ZD_PLT_filename=str(assets / "eigmodes128"),
+            ZD_qPLT_rescale=1,
+            ZD_PLT_target_z=5.0,
+        )
+    param = Parameters.from_dict(cfg_dict)
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     model = Zeldovich(param, dtype=dtype)
 
@@ -114,7 +122,10 @@ def child():
     else:
         from zeldovich_tpu.models.pipeline import _half_pair_forward
 
-        fwd = lambda pk: _half_pair_forward(model.cfg, model.tables, pk, dtype)
+        plt_coefs = model.plt_coefs  # None unless BENCH_PLT
+        fwd = lambda pk: _half_pair_forward(
+            model.cfg, model.tables, pk, dtype, plt_coefs
+        )
     pk0 = model.pk_eff
 
     # Client-side Mosaic lowering gate: kernel block-legality is checked
@@ -200,21 +211,23 @@ def _route(ppd, dtype_name):
     _resolve_precision(None)  # validate the knob early
     if dtype_name == "df64":
         return {"fft_algo": "ozaki-int8-df64", "fft_precision": "df64"}
+    from zeldovich_tpu.ops.modes_real import mega_route_on
     from zeldovich_tpu.ops.pallas_fft import (
         use_c2r_pallas,
         use_zx_folded,
         use_zx_tiled,
     )
 
-    mega = os.environ.get("ZT_PALLAS_MEGA") == "1"
+    qplt = os.environ.get("BENCH_PLT") == "1"
     if use_zx_folded(jnp.float32, ppd):
-        zx = "mega" if mega else "pallas-folded"
+        zx = "mega" if mega_route_on(jnp.float32, ppd, qplt) else "pallas-folded"
     elif use_zx_tiled(jnp.float32, ppd):
         zx = "pallas-tiled"
     else:
         zx = "xla-matmul"
     c2r = "pallas-c2r" if use_c2r_pallas(jnp.float32, ppd) else "xla-c2r"
-    return {"fft_algo": f"{zx}+{c2r}", "fft_precision": prec}
+    algo = f"{zx}+{c2r}" + ("+plt" if qplt else "")
+    return {"fft_algo": algo, "fft_precision": prec}
 
 
 def _roofline(ppd, narray, dt):

@@ -84,41 +84,70 @@ def main():
 
     assets = Path(__file__).parent.parent / "zeldovich_tpu" / "assets"
     ppd = 512
-    param = Parameters.from_dict(
-        dict(
-            BoxSize=720.0, NP=ppd**3, CPD=ppd, ICFormat="RVZel",
-            InitialConditionsDirectory="/tmp/lower_check",
-            InitialRedshift=49.0, ZD_Seed=12346, ZD_NumBlock=2,
-            ZD_Pk_scale=1.0, ZD_Pk_norm=8.0, ZD_Pk_sigma=0.0210839935761,
-            ZD_Pk_smooth=0.0, ZD_Pk_filename=str(assets / "wmap1new.pow"),
-            ZD_Version=2,
-        )
+    cfg_dict = dict(
+        BoxSize=720.0, NP=ppd**3, CPD=ppd, ICFormat="RVZel",
+        InitialConditionsDirectory="/tmp/lower_check",
+        InitialRedshift=49.0, ZD_Seed=12346, ZD_NumBlock=2,
+        ZD_Pk_scale=1.0, ZD_Pk_norm=8.0, ZD_Pk_sigma=0.0210839935761,
+        ZD_Pk_smooth=0.0, ZD_Pk_filename=str(assets / "wmap1new.pow"),
+        ZD_Version=2,
     )
+    param = Parameters.from_dict(cfg_dict)
     model = Zeldovich(param, dtype=jnp.float32)
     cfg, tables = model.cfg, model.tables
     pk_spec = jax.eval_shape(lambda: model.pk_eff)
 
-    check(
-        f"half_pair_forward_{ppd}",
-        partial(_half_pair_forward, cfg, dtype=jnp.float32),
-        jax.tree.map(lambda x: S(x.shape, x.dtype), tables),
-        pk_spec,
-    )
-
     import os
 
-    os.environ["ZT_PALLAS_MEGA"] = "1"
-    # _half_pair_forward is itself jitted and its trace cache is keyed on
-    # avals, not env vars: without clearing it, this check would silently
-    # re-lower the non-mega trace from the check above
+    tspec = jax.tree.map(lambda x: S(x.shape, x.dtype), tables)
+    # both route compositions: mega (the TPU default) and the separate
+    # kernels (ZT_NO_PALLAS_MEGA).  _half_pair_forward is itself jitted
+    # and its trace cache is keyed on avals, not env vars: clear it
+    # around each env flip or the second check silently re-lowers the
+    # first trace.
+    os.environ["ZT_PALLAS_MEGA"] = "1"  # force mega even off-TPU
     _half_pair_forward.clear_cache()
     check(
         f"half_pair_forward_mega_{ppd}",
         partial(_half_pair_forward, cfg, dtype=jnp.float32),
-        jax.tree.map(lambda x: S(x.shape, x.dtype), tables),
+        tspec,
         pk_spec,
     )
     del os.environ["ZT_PALLAS_MEGA"]
+    os.environ["ZT_NO_PALLAS_MEGA"] = "1"
+    _half_pair_forward.clear_cache()
+    check(
+        f"half_pair_forward_{ppd}",
+        partial(_half_pair_forward, cfg, dtype=jnp.float32),
+        tspec,
+        pk_spec,
+    )
+    del os.environ["ZT_NO_PALLAS_MEGA"]
+    _half_pair_forward.clear_cache()
+
+    # the PLT composition (pre-gathered coefficient fields, narray=4)
+    plt_param = Parameters.from_dict(
+        dict(
+            cfg_dict,
+            ZD_qPLT=1,
+            ZD_PLT_filename=str(assets / "eigmodes128"),
+            ZD_qPLT_rescale=1,
+            ZD_PLT_target_z=5.0,
+        )
+    )
+    plt_model = Zeldovich(plt_param, dtype=jnp.float32)
+    coef_spec = jax.tree.map(
+        lambda x: S(x.shape, x.dtype), tuple(plt_model.plt_coefs)
+    )
+    check(
+        f"half_pair_forward_plt_{ppd}",
+        lambda t, pk, coefs: _half_pair_forward(
+            plt_model.cfg, t, pk, jnp.float32, coefs
+        ),
+        jax.tree.map(lambda x: S(x.shape, x.dtype), plt_model.tables),
+        S(plt_model.pk_eff.shape, plt_model.pk_eff.dtype),
+        coef_spec,
+    )
     _half_pair_forward.clear_cache()
 
     if failures:

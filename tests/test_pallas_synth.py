@@ -245,3 +245,77 @@ def test_mega_forward_route(monkeypatch):
         monkeypatch.delenv("ZT_PALLAS_FORCE")
         pl_mod._half_pair_forward.clear_cache()
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+# -- PLT through the fused pack kernel (pre-gathered coefficient fields) ----
+
+
+def _plt_model(ppd=16, **over):
+    return _model(
+        ppd,
+        ZD_qPLT=1,
+        ZD_PLT_filename=str(ASSETS / "eigmodes128"),
+        ZD_qPLT_rescale=1,
+        ZD_PLT_target_z=5.0,
+        **over,
+    )
+
+
+def test_plt_pack_kernel_matches_xla_pack():
+    """The fused pack kernel with pre-gathered PLT coefficient fields ==
+    the XLA PLT pack path (4-array layout incl. velocity packings)."""
+    from zeldovich_tpu.ops.modes_real import synthesize_half_pair
+
+    model = _plt_model()
+    cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+    coefs = model.plt_coefs
+    assert coefs is not None and len(coefs) == 4
+    half = cfg.ppd // 2
+
+    got = np.asarray(
+        _fix_ky0_packed(
+            halfspace_pack_pallas(
+                cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+                fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+                interpret=True, plt_coefs=coefs,
+            ),
+            half,
+        )
+    )
+    want = np.asarray(
+        synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
+    )
+    assert got.shape == want.shape == (4, 2, 2, half + 1, 16, 16)
+    # same FMA-contraction caveat as the non-PLT pack parity test
+    np.testing.assert_allclose(got, want, atol=1e-6 * np.abs(want).max())
+    np.testing.assert_array_equal(got == 0.0, want == 0.0)
+
+
+def test_plt_forward_route_matches(monkeypatch):
+    """End-to-end: xspace_half_pair through the fused PLT kernel route
+    (ZT_PALLAS_FORCE interpret) == the XLA route, and both == the complex
+    full-grid pipeline."""
+    from zeldovich_tpu.models import pipeline as pl_mod
+
+    model = _plt_model()
+    want = np.asarray(model.xspace_half_pair())  # XLA route on CPU
+
+    monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
+    pl_mod._half_pair_forward.clear_cache()
+    try:
+        from zeldovich_tpu.ops.modes_real import _use_pallas_pack
+
+        assert _use_pallas_pack(
+            model.cfg, model.tables, jnp.float32, model.pk_eff,
+            model.plt_coefs,
+        )
+        got = np.asarray(model.xspace_half_pair())
+    finally:
+        monkeypatch.delenv("ZT_PALLAS_FORCE")
+        pl_mod._half_pair_forward.clear_cache()
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+    cplx = np.asarray(model.xspace())
+    np.testing.assert_allclose(
+        got[:, 0] + 1j * got[:, 1], cplx, atol=2e-5 * np.abs(cplx).max()
+    )

@@ -103,6 +103,24 @@ class Zeldovich:
             )(self.cfg, self.tables, dtype=self.dtype)
         return self._pk_eff
 
+    @property
+    def plt_coefs(self):
+        """Cached pre-gathered PLT coefficient fields (setup work).
+
+        None unless qPLT.  The eigenmode trilinear gather -- the dominant
+        PLT cost on TPU -- runs once here instead of every step; the
+        fused pack kernel consumes the resulting (cx, cy, cz, f) planes.
+        """
+        if not self.param.qPLT:
+            return None
+        if getattr(self, "_plt_coefs", None) is None:
+            from ..ops.modes_real import plt_coef_fields
+
+            self._plt_coefs = jax.jit(
+                plt_coef_fields, static_argnames=("cfg", "dtype")
+            )(self.cfg, self.tables, dtype=self.dtype)
+        return self._plt_coefs
+
     def kspace_pair(self):
         """Packed k-space arrays as real pairs: (narray, 2, Y, Z, X)."""
         from ..ops import mmfft
@@ -193,7 +211,8 @@ class Zeldovich:
             if not self.half_exact:
                 return self.xspace_pair()
             return _half_pair_forward(
-                self.cfg, self.tables, self.pk_eff, self.dtype
+                self.cfg, self.tables, self.pk_eff, self.dtype,
+                self.plt_coefs,
             )
         return mmfft.ifft3_half_pair(spm)
 
@@ -421,7 +440,7 @@ def _ifft_all(kgrid):
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype"))
-def _half_pair_forward(cfg, tables, pk_eff, dtype):
+def _half_pair_forward(cfg, tables, pk_eff, dtype, plt_coefs=None):
     """Fused half-spectrum forward step (synthesis + c2r matmul iFFT)."""
     from ..ops import mmfft
     from ..ops.modes_real import synthesize_half_pair, use_mega_forward
@@ -437,7 +456,9 @@ def _half_pair_forward(cfg, tables, pk_eff, dtype):
         if use_c2r_pallas(g.dtype, cfg.ppd):
             return c2r_y_folded_pallas(g)
         return mmfft.c2r_y_pair(g)
-    spm = synthesize_half_pair(cfg, tables, dtype=dtype, pk_eff=pk_eff)
+    spm = synthesize_half_pair(
+        cfg, tables, dtype=dtype, pk_eff=pk_eff, plt_coefs=plt_coefs
+    )
     return mmfft.ifft3_half_pair(spm)
 
 

@@ -64,6 +64,46 @@ def pk_effective(cfg: SynthConfig, tables: SynthTables, dtype):
     return jnp.where(zero, fdt(0), pk)
 
 
+def plt_coef_fields(cfg: SynthConfig, tables: SynthTables, dtype):
+    """Setup-time PLT coefficient fields for the fused pack kernel.
+
+    Pre-gathers the eigenmode trilinear lookup -- the 8-point XLA gather
+    that dominates the PLT step on TPU -- into 4 static (half, Z, X)
+    fields: cx, cy, cz = evec_j * rescale * fundamental / k^2 (the exact
+    per-mode coefficients _finish_fields computes, same expressions and
+    evaluation order) and the PLT growth factor f for the velocity
+    arrays.  Analog of pk_effective: constant per configuration, computed
+    once at setup (reference: the per-mode get_eigenmode calls inside
+    LoadPlane, zeldovich.cpp:404-434).
+    """
+    from .plt import eigenmode_lookup
+
+    ppd, half = cfg.ppd, cfg.ppd // 2
+    fdt = dtype
+    y = jnp.arange(half)[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    kz = jnp.where(z > half, z - ppd, z)
+    kx = jnp.where(x > half, x - ppd, x)
+    n2 = (kx * kx + y * y + kz * kz).astype(jnp.int32)
+    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+    ik2 = jnp.where(n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2))
+    evec, eval_ = eigenmode_lookup(kx, y, kz, ppd, tables.eig, dtype=fdt)
+    f = (jnp.sqrt(1.0 + 24.0 * eval_ * fdt(cfg.f_cluster)) - 1.0) * fdt(0.25)
+    if cfg.qPLTrescale:
+        rescale = fdt(cfg.plt_rescale_base) ** (fdt(cfg.plt_target_f) - f)
+    else:
+        rescale = fdt(1.0)
+    scale = rescale * fdt(cfg.fundamental) * ik2
+    shape = (half, ppd, ppd)
+    return (
+        jnp.broadcast_to(evec[0] * scale, shape).astype(fdt),
+        jnp.broadcast_to(evec[1] * scale, shape).astype(fdt),
+        jnp.broadcast_to(evec[2] * scale, shape).astype(fdt),
+        jnp.broadcast_to(f, shape).astype(fdt),
+    )
+
+
 def _raw_fields_pair(
     sy, sz, sx, cfg: SynthConfig, tables: SynthTables, dtype, phi_pair_val=None,
     identity_grid=False, pk_eff=None, allow_pallas=True, accurate=False,
@@ -420,7 +460,7 @@ def _fix_ky0_packed(out, half):
     return out.at[:, :, :, 0:1].set(row0[:, :, :, None])
 
 
-def _use_pallas_pack(cfg, tables, dtype, pk_eff) -> bool:
+def _use_pallas_pack(cfg, tables, dtype, pk_eff, plt_coefs=None) -> bool:
     """Gate for the fully fused synth+pack kernel (ops/pallas_synth).
 
     TPU-only: the packing math has a-b*c shapes whose FMA contraction
@@ -428,8 +468,10 @@ def _use_pallas_pack(cfg, tables, dtype, pk_eff) -> bool:
     amplified by cancellation to ~2e-9 absolute at 16^3 -- far below the
     f32 path's 8.8e-6 documented displacement error, but enough to break
     the CPU byte-equality invariants the test suite pins, so CPU keeps
-    the D-kernel + XLA pack).  Non-PLT only (the eigenmode gather keeps
-    the XLA pack path).  ZT_NO_PALLAS_PACK falls back for A/B runs.
+    the D-kernel + XLA pack).  PLT runs through the kernel when the
+    caller pre-gathered the eigenmode coefficient fields
+    (plt_coef_fields); without them the eigenmode gather keeps the XLA
+    pack path.  ZT_NO_PALLAS_PACK falls back for A/B runs.
     """
     return (
         _use_pallas(dtype)
@@ -441,23 +483,38 @@ def _use_pallas_pack(cfg, tables, dtype, pk_eff) -> bool:
         and not os.environ.get("ZT_NO_PALLAS_PACK")
         and tables.mzx is not None
         and pk_eff is not None
-        and not cfg.qPLT
+        and (not cfg.qPLT or plt_coefs is not None)
+    )
+
+
+def mega_route_on(dtype, ppd, qplt=False) -> bool:
+    """Env/backend half of the mega-kernel gate (shared with bench's
+    route stamp).  Default ON on TPU: the fused synth+pack+zx kernel
+    measured 49.2 ms vs 57.9 ms for the separate kernels at 512^3 on a
+    v5e (runs/r4_ab.log), with on-chip parity rel 5.0e-7 vs the XLA
+    composition.  ZT_NO_PALLAS_MEGA=1 opts out; ZT_PALLAS_MEGA=1 forces
+    it on off-TPU (the CPU interpret-mode tests).  No PLT form (the
+    coefficient planes would not fit the fused VMEM budget)."""
+    from .pallas_fft import use_zx_folded
+
+    if os.environ.get("ZT_NO_PALLAS_MEGA"):
+        return False
+    return (
+        not qplt
+        and (
+            os.environ.get("ZT_PALLAS_MEGA") == "1"
+            or jax.default_backend() == "tpu"
+        )
+        and use_zx_folded(dtype, ppd)
     )
 
 
 def use_mega_forward(cfg, tables, dtype, pk_eff) -> bool:
-    """Gate for the fused synth+pack+zx mega kernel (ZT_PALLAS_MEGA=1).
-
-    Opt-in until validated on hardware: the fused form holds full
-    (Z, X) planes plus the draw-chain temporaries in VMEM at once, a
-    footprint the separate kernels never reach.  Requires every
-    _use_pallas_pack condition plus the folded-transform gate."""
-    from .pallas_fft import use_zx_folded
-
-    return (
-        os.environ.get("ZT_PALLAS_MEGA") == "1"
-        and _use_pallas_pack(cfg, tables, dtype, pk_eff)
-        and use_zx_folded(dtype, cfg.ppd)
+    """Full gate for the fused synth+pack+zx mega kernel: the
+    env/backend/shape half (mega_route_on) plus every fused-pack
+    condition."""
+    return mega_route_on(dtype, cfg.ppd, cfg.qPLT) and _use_pallas_pack(
+        cfg, tables, dtype, pk_eff
     )
 
 
@@ -468,6 +525,7 @@ def synthesize_half_pair(
     dtype=jnp.float32,
     pk_eff=None,
     accurate: bool = False,
+    plt_coefs=None,
 ):
     """Half-SPECTRUM complex-free synthesis: (narray, 2, 2, half+1, Z, X).
 
@@ -484,12 +542,13 @@ def synthesize_half_pair(
     ppd = cfg.ppd
     half = ppd // 2
 
-    if not accurate and _use_pallas_pack(cfg, tables, dtype, pk_eff):
+    if not accurate and _use_pallas_pack(cfg, tables, dtype, pk_eff, plt_coefs):
         from .pallas_synth import halfspace_pack_pallas
 
         out = halfspace_pack_pallas(
             cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
             fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+            plt_coefs=plt_coefs if cfg.qPLT else None,
         )
         return _fix_ky0_packed(out, half)
 

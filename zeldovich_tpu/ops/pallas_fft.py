@@ -32,6 +32,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pallas_precision():
+    """The ZT_FFT_PRECISION knob, clamped to what Mosaic can lower.
+
+    Mosaic's dot_general supports DEFAULT and HIGHEST only; HIGH (the
+    3-pass XLA experiment setting) would fail kernel lowering, so it maps
+    to HIGHEST here -- the folded kernels spend 3x fewer MACs than the
+    unfolded XLA route, so HIGHEST-in-kernel still beats HIGH-in-XLA
+    (measured: 58 ms vs 114 ms at 512^3 on a v5e).
+    """
+    from jax import lax
+
+    from .mmfft import _resolve_precision
+
+    p = _resolve_precision(None)
+    return lax.Precision.HIGHEST if p == lax.Precision.HIGH else p
+
+
 @lru_cache(maxsize=None)
 def _fold_mats(n: int):
     """Host cos/sin half-matrices (f32) for the folded length-n DFT.
@@ -157,9 +174,7 @@ def zx_folded_pallas(spm, sign: int = +1, interpret=None):
     flat = spm.reshape(b, 2, k, n, n)
     Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
 
-    from .mmfft import _resolve_precision
-
-    prec = _resolve_precision(None)
+    prec = _pallas_precision()
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     pspec = pl.BlockSpec(
         (1, 2, 1, n, n),
@@ -229,9 +244,7 @@ def zx_tiled_pallas(spm, sign: int = +1, tile: int = 512, interpret=None):
     flat = spm.reshape(b, 2, k, n, n)
     Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
 
-    from .mmfft import _resolve_precision
-
-    prec = _resolve_precision(None)
+    prec = _pallas_precision()
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     zspec = pl.BlockSpec(
         (1, 2, 1, n, w),
@@ -315,9 +328,7 @@ def y_tiled_pallas(zslab, sign: int = +1, tile: int = 512, interpret=None):
     flat = zslab.reshape(b, 2, n, bz, X)
     Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(n))
 
-    from .mmfft import _resolve_precision
-
-    prec = _resolve_precision(None)
+    prec = _pallas_precision()
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     yspec = pl.BlockSpec(
         (1, 2, n, bzb, w),
@@ -502,12 +513,12 @@ def c2r_y_folded_pallas(spm, interpret=None):
     lead = spm.shape[:-5]
     b = int(np.prod(lead)) if lead else 1
     flat = spm.reshape(b, 2, 2, hp1, Z, X)
-    from .mmfft import _c2r_fold_mats, _resolve_precision
+    from .mmfft import _c2r_fold_mats
 
     Cm, Sm, alt3 = _c2r_fold_mats(n)
     alt = jnp.asarray(alt3[..., 0])  # (h+1, 1)
     Cm, Sm = jnp.asarray(Cm), jnp.asarray(Sm)
-    prec = _resolve_precision(None)
+    prec = _pallas_precision()
     # z-block of 8 (Mosaic sublane rule); lane tile sized so the
     # concatenated dot width zb*2*Xb stays ~4096 (VMEM and MXU sweet spot)
     zb = 8 if Z % 8 == 0 else Z

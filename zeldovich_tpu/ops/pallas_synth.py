@@ -318,8 +318,12 @@ def _grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
 
 
 def _pack_grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
-                      out_ref, *, fixed_power, fdt, fund, half, ppd, zb,
-                      just_density):
+                      *refs, fixed_power, fdt, fund, half, ppd, zb,
+                      just_density, qplt):
+    if qplt:
+        cx_ref, cy_ref, cz_ref, f_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     y = pl.program_id(0)
     zi = pl.program_id(1)
 
@@ -338,11 +342,6 @@ def _pack_grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
         D_re, D_im = _draw_chain(*s, pk_ref[0], fdt(1.0), fixed_power, fdt)
 
         shape = D_re.shape  # (zb, X)
-        zg = zi * zb + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        kz = jnp.where(zg > half, zg - ppd, zg)
-        kx = jnp.where(xg > half, xg - ppd, xg)
-        ky = y  # scalar
 
         def pack_into(j, Dp, Fp):
             # _pack_fix_pad's packing arithmetic, verbatim
@@ -356,34 +355,56 @@ def _pack_grid_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
             pack_into(0, (D_re, D_im), (zero, zero))
             return
 
-        # _finish_fields' expressions, verbatim (non-PLT: rescale = f = 1)
-        n2 = kx * kx + ky * ky + kz * kz
-        k2 = n2.astype(fdt) * fdt(fund) ** 2
-        ik2 = jnp.where(
-            n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
-        )
-        scale = fdt(1.0) * fdt(fund) * ik2
-        cx = kx.astype(fdt) * scale
-        cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
-        cz = kz.astype(fdt) * scale
+        if qplt:
+            # pre-gathered PLT coefficients (modes_real.plt_coef_fields):
+            # cx/cy/cz already carry evec * rescale * fund / k^2
+            cx, cy, cz = cx_ref[0], cy_ref[0], cz_ref[0]
+        else:
+            # _finish_fields' expressions, verbatim (rescale = f = 1)
+            zg = zi * zb + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            kz = jnp.where(zg > half, zg - ppd, zg)
+            kx = jnp.where(xg > half, xg - ppd, xg)
+            ky = y  # scalar
+            n2 = kx * kx + ky * ky + kz * kz
+            k2 = n2.astype(fdt) * fdt(fund) ** 2
+            ik2 = jnp.where(
+                n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
+            )
+            scale = fdt(1.0) * fdt(fund) * ik2
+            cx = kx.astype(fdt) * scale
+            cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
+            cz = kz.astype(fdt) * scale
         F = (-cx * D_im, cx * D_re)
         G = (-cy * D_im, cy * D_re)
         H = (-cz * D_im, cz * D_re)
         pack_into(0, (D_re, D_im), F)  # A = D + iF
         pack_into(4, G, H)             # B = G + iH
+        if qplt:
+            # velocity arrays (synthesize_half_pair's PLT tail, verbatim)
+            fg = f_ref[0]
+            zero = jnp.zeros(shape, fdt)
+            Ff = (F[0] * fg, F[1] * fg)
+            Gf = (G[0] * fg, G[1] * fg)
+            Hf = (H[0] * fg, H[1] * fg)
+            pack_into(8, (zero, zero), Ff)   # A2 = 0 + i f F
+            pack_into(12, Gf, Hf)            # B2 = f G + i f H
 
 
 @partial(jax.jit, static_argnames=("cfg", "fixed_power", "just_density",
                                    "interpret"))
 def halfspace_pack_pallas(
     cfg, planes, mzx, czx, pk, fixed_power=False, just_density=False,
-    interpret=None,
+    interpret=None, plt_coefs=None,
 ):
     """Packed half-spectrum synthesis, fully fused on-chip.
 
     planes: tuple of 4 (half,) u32 per-y-plane state limbs
     mzx, czx: tuples of 4 (Z, X) u32 precomposed jump-table limbs
     pk: (half, Z, X) float -- pk_effective (zero rules folded in)
+    plt_coefs: optional (cx, cy, cz, f) pre-gathered PLT coefficient
+        fields (modes_real.plt_coef_fields); when given the kernel packs
+        the 4-array PLT layout (displacements + velocity arrays).
     Returns (narray, 2, 2, half+1, Z, X) with the ky=0 plane RAW (the
     caller applies the self-conjugate fixup) and the Nyquist row zero.
     """
@@ -391,7 +412,8 @@ def halfspace_pack_pallas(
         interpret = jax.default_backend() == "cpu"
     fdt = pk.dtype.type
     half, Z, X = pk.shape
-    narray = 1 if just_density else 2
+    qplt = plt_coefs is not None
+    narray = 1 if just_density else (4 if qplt else 2)
     planes = jnp.stack(list(planes), axis=-1)  # (half, 4)
 
     nj = narray * 4
@@ -419,6 +441,12 @@ def halfspace_pack_pallas(
         (nj, 1, zb, X), lambda y, z: (i32(0), i32(y), i32(z), i32(0))
     )
 
+    args = [planes, *mzx, *czx, pk]
+    in_specs = [pspec] + [mspec] * 8 + [pkspec]
+    if qplt:
+        args += list(plt_coefs)
+        in_specs += [pkspec] * 4  # same (1, zb, X) y-clamped blocks as pk
+
     out = pl.pallas_call(
         partial(
             _pack_grid_kernel,
@@ -429,13 +457,14 @@ def halfspace_pack_pallas(
             ppd=cfg.ppd,
             zb=zb,
             just_density=just_density,
+            qplt=qplt,
         ),
         out_shape=jax.ShapeDtypeStruct((nj, half + 1, Z, X), pk.dtype),
         grid=grid,
-        in_specs=[pspec] + [mspec] * 8 + [pkspec],
+        in_specs=in_specs,
         out_specs=ospec,
         interpret=interpret,
-    )(planes, *mzx, *czx, pk)
+    )(*args)
     return out.reshape(narray, 2, 2, half + 1, Z, X)
 
 
@@ -642,14 +671,15 @@ def halfspace_pack_zx_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     from .pallas_fft import _fold_mats
-    from ..ops.mmfft import _resolve_precision
 
     fdt = pk.dtype.type
     half, Z, X = pk.shape
     narray = 1 if just_density else 2
     planes = jnp.stack(list(planes), axis=-1)  # (half, 4)
     Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(Z))
-    prec = _resolve_precision(None)
+    from .pallas_fft import _pallas_precision
+
+    prec = _pallas_precision()
 
     nj = narray * 4
     grid = (half + 1,)
