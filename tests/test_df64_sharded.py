@@ -63,6 +63,7 @@ def test_df64_sharded_parity_shapes(mesh_shape):
     test_df64_sharded_parity(mesh_shape)
 
 
+@pytest.mark.slow  # 52 s: the heaviest df64 mesh check (CI tier budget)
 @pytest.mark.parametrize("mesh_shape", [(4, 2)])
 def test_df64_sharded_parity(mesh_shape):
     param = make_params(ppd=16)
@@ -73,6 +74,7 @@ def test_df64_sharded_parity(mesh_shape):
     assert _parity(got, _f64_reference(param)) < 1e-6
 
 
+@pytest.mark.slow  # 34 s (CI fast-tier budget)
 def test_df64_sharded_matches_incore_tight():
     """Sharded and in-core df64 agree to a few f32 ulp.
 

@@ -139,6 +139,8 @@ def test_ifft3_half_df64_matches_f64():
     )
 
 
+@pytest.mark.slow  # 49 s (CI fast-tier budget; ozaki half-pipeline
+# parity keeps a fast-tier df64 check)
 def test_df64_mixed_mode_parity():
     """--dtype df64: f32 draws + f64 transforms, <1e-6 displacement error."""
     from pathlib import Path

@@ -223,6 +223,8 @@ def test_mega_kernel_matches_composition(case):
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
 
 
+@pytest.mark.slow  # 30 s 128^3 interpret run (the composition tests
+# above keep fast-tier mega coverage)
 def test_mega_forward_route(monkeypatch):
     """The ZT_PALLAS_MEGA forward route == the default route, end-to-end
     through Zeldovich.xspace_half_pair (CPU interpret via ZT_PALLAS_FORCE)."""
