@@ -299,3 +299,27 @@ def test_forced_pallas_routing_matches_xla(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             rb["vel"], ra["vel"], atol=2e-5 * vscale, rtol=0
         )
+
+
+def test_matches_incore_v1(tmp_path):
+    """Legacy ZD_Version=1 through the streamed pipeline == in-core v1.
+
+    The reference runs v1 in DISK mode at any NumBlock
+    (zeldovich.cpp:946-979 with the v1 RNG, power_spectrum.cpp:18-25);
+    this is the scale-mode analog: the host-generated MT19937 D field
+    feeds the per-slab synthesis (D_source slicing) and the staged
+    transforms.  Complex path (v1 is host-generated by construction).
+    """
+    compare_outputs(
+        *run_both(tmp_path, ZD_Version=1, ZD_NumBlock=4)
+    )
+
+
+def test_matches_incore_v1_disk(tmp_path):
+    """v1 + disk backing: the closest analog of the reference's
+    v1 -DDISK configuration."""
+    p1 = make_params(tmp_path / "a", ZD_Version=1, ZD_NumBlock=4)
+    Zeldovich(p1).run()
+    p2 = make_params(tmp_path / "b", ZD_Version=1, ZD_NumBlock=4)
+    OutOfCoreZeldovich(p2, slab_bytes=1 << 16, backing="disk").run()
+    compare_outputs(p1, p2)
