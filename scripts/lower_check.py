@@ -64,6 +64,11 @@ def main():
             f"zx_folded_{n}", partial(zx_folded_pallas, sign=1, interpret=False),
             S((2, 2, h + 1, n, n), f32),
         )
+    # c2r at its widened 1024 gate (Z-sliced stripe: the OOC block shape)
+    check(
+        "c2r_1024", partial(c2r_y_folded_pallas, interpret=False),
+        S((2, 2, 513, 64, 1024), f32),
+    )
     for n in (1024, 2048):  # lane-tiled gate range (out-of-core slabs)
         check(
             f"zx_tiled_{n}", partial(zx_tiled_pallas, sign=1, interpret=False),

@@ -600,13 +600,17 @@ def ifft3_half_pair(spm, precision=None):
         zx_tiled_pallas,
     )
 
+    ny = 2 * (spm.shape[-3] - 1)  # y-transform length (ky axis)
     if precision is None and use_zx_folded(spm.dtype, spm.shape[-1]):
         g = zx_folded_pallas(spm, +1)
-        if use_c2r_pallas(spm.dtype, spm.shape[-1]):
+        if use_c2r_pallas(spm.dtype, ny):
             return c2r_y_folded_pallas(g)
         return c2r_y_pair(g, precision)
     if precision is None and use_zx_tiled(spm.dtype, spm.shape[-1]):
-        return c2r_y_pair(zx_tiled_pallas(spm, +1), precision)
+        g = zx_tiled_pallas(spm, +1)
+        if use_c2r_pallas(spm.dtype, ny):
+            return c2r_y_folded_pallas(g)
+        return c2r_y_pair(g, precision)
     re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
     for ax in (-2, -1):
         re, im = cfft_axis(re, im, ax, +1, precision)

@@ -556,8 +556,15 @@ def c2r_y_folded_pallas(spm, interpret=None):
 
 
 def use_c2r_pallas(dtype, n: int) -> bool:
-    """Folded c2r y-transform kernel gate."""
-    return _gate(dtype, n, 128, 512, "ZT_NO_PALLAS_C2R")
+    """Folded c2r y-transform kernel gate.
+
+    Upper bound 1024: on-chip parity validated at 512 (rel 1.5e-7) and
+    1024 (rel 2.0e-7, runs/r4_ab.log); above 1024 the assembled
+    four-step XLA form (c2r_y_pair's n > DENSE_MAX branch) is the
+    efficient route and the kernel's whole-ky window would press the
+    VMEM limit.
+    """
+    return _gate(dtype, n, 128, 1024, "ZT_NO_PALLAS_C2R")
 
 
 def use_zx_folded(dtype, n: int) -> bool:
