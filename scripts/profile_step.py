@@ -1,13 +1,17 @@
 """Stage-level timing of the 512^3 half-spectrum step on the real chip.
 
-Times, fetch-bracketed (chain of N minus chain of 1, like bench.py):
-  synth     -- synthesize_half_pair only
-  synth+zx  -- synthesis + z and x transforms (no c2r y)
-  full      -- the whole fused step (bench.py's measurement)
+Times via the in-jit fori-loop chain (bench.py's method: K steps in ONE
+dispatch with a scalar data dependency, so the remote tunnel's
+per-dispatch overhead cancels exactly in the chain(K)-chain(1) delta):
+  draws     -- the fused Pallas draw chain alone
+  synthraw  -- the fused pack kernel, no ky0 fixup
+  synth     -- synthesize_half_pair (pack + fixup)
+  synth_zx  -- synthesis + z and x transforms (no c2r y)
+  full      -- the whole separate-kernel step
+  mega      -- the fused mega route (PROF_MEGA=1)
 
 The deltas locate the time: transforms = full - synth; each stage's
-share guides optimization (at 512^3 the ZT_FFT_PRECISION ladder showed
-high vs highest moves the step only ~7 ms, so synthesis is the suspect).
+share guides optimization.
 
 Usage: detached on the TPU --
   setsid nohup python scripts/profile_step.py > runs/profile_step.log 2>&1 &
@@ -116,32 +120,34 @@ def run(tables, pk_eff, stage: str):
     return mmfft.c2r_y_pair(jnp.stack([re, im], axis=-4))
 
 
-def fetch_probe(out):
-    # fetch a FEW ELEMENTS via a device-side slice: a full-array fetch
-    # through the remote tunnel (~40 MB/s) would swamp the step time
-    # with fetch-bandwidth variance
-    leaf = jax.tree.leaves(out)[0]
-    idx = (0,) * (leaf.ndim - 1) + (slice(0, 4),)
-    return np.asarray(leaf[idx])
-
-
 def bracket(stage):
-    f = lambda: run(tables, pk_eff, stage)
-    fetch_probe(f())  # compile+warm
+    """Per-step device time of one stage via the in-jit chain delta."""
+    from jax import lax
+
+    eps = jnp.asarray(1e-30, pk_eff.dtype)
+
+    @jax.jit
+    def chain(pk, k):
+        def body(i, carry):
+            out = run(tables, pk + carry * eps, stage)
+            leaf = jax.tree.leaves(out)[0]
+            return leaf[(0,) * leaf.ndim].astype(pk.dtype)
+
+        return lax.fori_loop(0, k, body, jnp.zeros((), pk.dtype))
+
+    np.asarray(chain(pk_eff, 1))  # compile + warm
     t0 = time.perf_counter()
-    fetch_probe(f())
+    np.asarray(chain(pk_eff, 1))
     t_one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = f()
-    fetch_probe(out)
-    t_chain = time.perf_counter() - t0
-    return max((t_chain - t_one) / (REPS - 1), 1e-9)
+    np.asarray(chain(pk_eff, REPS + 1))
+    t_k = time.perf_counter() - t0
+    return max((t_k - t_one) / REPS, 1e-9)
 
 
 res = {"ppd": PPD, "platform": jax.devices()[0].platform}
 stages = ["draws", "synthraw", "synth", "synth_zx", "full"]
-if os.environ.get("PROF_MEGA"):
+if os.environ.get("PROF_MEGA", "1") != "0":  # the default product route
     stages.append("mega")
 for stage in stages:
     try:
