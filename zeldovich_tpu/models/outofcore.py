@@ -93,8 +93,18 @@ def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None
     y = (y0 + jnp.arange(ny))[:, None, None]
     z = jnp.arange(ppd)[None, :, None]
     x = jnp.arange(ppd)[None, None, :]
+    # single-host path: the fused draw kernel applies (bit-identical to
+    # the jnp chain).  TPU/force only: on CPU the interpret-mode kernel
+    # is 6x slower than the XLA chain for identical bytes.
+    import os
+
+    pallas_ok = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("ZT_PALLAS_FORCE") == "1"
+    )
     k = synthesize_pair(
-        y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_pair=phi_pair
+        y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_pair=phi_pair,
+        allow_pallas=pallas_ok,
     )
     # (narray, 2, ny, Z, X): the re/im at -4 / in-plane trailing dims are
     # exactly the folded Pallas kernel's layout (TPU; XLA matmuls elsewhere)

@@ -280,6 +280,7 @@ def synthesize_pair(
     gen_phi: bool = False,
     phi_pair=None,
     accurate: bool = False,
+    allow_pallas: bool = False,
 ):
     """Elementwise complex-free synthesis at output indices (shardable).
 
@@ -304,12 +305,14 @@ def synthesize_pair(
             jnp.where(mirror, refl_im, same_im),
         )
 
-    # no Pallas here: this path runs inside shard_map (where pallas_call
-    # output shapes lack the vma annotation shard_map checks for) and the
-    # flat kernel's XLA-side prep erases its win anyway
+    # allow_pallas defaults OFF: the shard_map callers cannot take it
+    # (pallas_call output shapes lack the vma annotation shard_map
+    # checks for).  Single-host callers (the out-of-core slab kernels)
+    # opt in -- the D kernel is bit-identical to the jnp chain, so
+    # byte-equality invariants hold either way.
     D, F, G, H, f = _raw_fields_pair(
         sy, sz, sx, cfg, tables, dtype, phi_pair_val=phi_val,
-        allow_pallas=False, accurate=accurate,
+        allow_pallas=allow_pallas, accurate=accurate,
     )
 
     sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im
