@@ -115,17 +115,21 @@ def child():
 
     # The measured function, parameterized on pk_eff so the timing chain
     # below can thread a data dependency through it.
+    # coefs ride as ARGUMENTS everywhere (None unless BENCH_PLT): closing
+    # over the ~1 GB coefficient planes would embed them as compiled-in
+    # constants
     if dtype_name == "df64":
         from zeldovich_tpu.models.pipeline import _half_df64_forward
 
-        fwd = lambda pk: _half_df64_forward(model.cfg, model.tables, pk)
+        fwd = lambda pk, coefs: _half_df64_forward(model.cfg, model.tables, pk)
+        coefs0 = None
     else:
         from zeldovich_tpu.models.pipeline import _half_pair_forward
 
-        plt_coefs = model.plt_coefs  # None unless BENCH_PLT
-        fwd = lambda pk: _half_pair_forward(
-            model.cfg, model.tables, pk, dtype, plt_coefs
+        fwd = lambda pk, coefs: _half_pair_forward(
+            model.cfg, model.tables, pk, dtype, coefs
         )
+        coefs0 = model.plt_coefs  # None unless BENCH_PLT
     pk0 = model.pk_eff
 
     # Client-side Mosaic lowering gate: kernel block-legality is checked
@@ -134,7 +138,8 @@ def child():
     # with the kernels off -- stamped as such -- so an unlowerable kernel
     # can never silently produce an unattributed number.  (Lowering does
     # not validate VMEM fit; the kernels budget that at trace time.)
-    jax.jit(fwd).lower(jax.ShapeDtypeStruct(pk0.shape, pk0.dtype))
+    spec = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+    jax.jit(fwd).lower(spec(pk0), jax.tree.map(spec, coefs0))
 
     # Timing: an in-jit chain.  Host-dispatched step loops measure the
     # remote tunnel's per-dispatch overhead as much as the device (the
@@ -148,14 +153,15 @@ def child():
     eps = jnp.asarray(1e-30, pk0.dtype)
 
     @jax.jit
-    def chain(pk_eff, k):
+    def chain(pk_eff, coefs, k):
         def body(i, carry):
-            out = fwd(pk_eff + carry * eps)
+            out = fwd(pk_eff + carry * eps, coefs)
             return out[(0,) * out.ndim].astype(pk_eff.dtype)
 
         return lax.fori_loop(0, k, body, jnp.zeros((), pk_eff.dtype))
 
-    probe = np.asarray(chain(pk0, 1))  # compile + warm-up
+    chain_ = lambda k: chain(pk0, coefs0, k)
+    probe = np.asarray(chain_(1))  # compile + warm-up
     assert np.all(np.isfinite(probe)), "non-finite output"
     run_e2e = os.environ.get("BENCH_E2E", "1") != "0"
     if run_e2e:
@@ -170,10 +176,10 @@ def child():
     trials = []
     for _ in range(int(os.environ.get("BENCH_TRIALS", "3"))):
         t0 = time.perf_counter()
-        np.asarray(chain(pk0, 1))
+        np.asarray(chain_(1))
         t_one = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(chain(pk0, K))
+        np.asarray(chain_(K))
         t_k = time.perf_counter() - t0
         trials.append(max((t_k - t_one) / (K - 1), 1e-9))
     dt = min(trials)

@@ -80,28 +80,46 @@ def plt_coef_fields(cfg: SynthConfig, tables: SynthTables, dtype):
 
     ppd, half = cfg.ppd, cfg.ppd // 2
     fdt = dtype
-    y = jnp.arange(half)[:, None, None]
-    z = jnp.arange(ppd)[None, :, None]
-    x = jnp.arange(ppd)[None, None, :]
-    kz = jnp.where(z > half, z - ppd, z)
-    kx = jnp.where(x > half, x - ppd, x)
-    n2 = (kx * kx + y * y + kz * kz).astype(jnp.int32)
-    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
-    ik2 = jnp.where(n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2))
-    evec, eval_ = eigenmode_lookup(kx, y, kz, ppd, tables.eig, dtype=fdt)
-    f = (jnp.sqrt(1.0 + 24.0 * eval_ * fdt(cfg.f_cluster)) - 1.0) * fdt(0.25)
-    if cfg.qPLTrescale:
-        rescale = fdt(cfg.plt_rescale_base) ** (fdt(cfg.plt_target_f) - f)
-    else:
-        rescale = fdt(1.0)
-    scale = rescale * fdt(cfg.fundamental) * ik2
-    shape = (half, ppd, ppd)
-    return (
-        jnp.broadcast_to(evec[0] * scale, shape).astype(fdt),
-        jnp.broadcast_to(evec[1] * scale, shape).astype(fdt),
-        jnp.broadcast_to(evec[2] * scale, shape).astype(fdt),
-        jnp.broadcast_to(f, shape).astype(fdt),
-    )
+    # chunk over y: the 8-point gather holds ~8 full-grid (.., 4)
+    # intermediates at once -- unchunked at 512^3 that is ~10 GB of
+    # transients, an HBM OOM on a 16 GB chip for a setup quantity
+    cy = min(32, half)
+    while half % cy:
+        cy -= 1
+
+    def one_chunk(i):
+        y = (i * cy + jnp.arange(cy))[:, None, None]
+        z = jnp.arange(ppd)[None, :, None]
+        x = jnp.arange(ppd)[None, None, :]
+        kz = jnp.where(z > half, z - ppd, z)
+        kx = jnp.where(x > half, x - ppd, x)
+        n2 = (kx * kx + y * y + kz * kz).astype(jnp.int32)
+        k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+        ik2 = jnp.where(
+            n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
+        )
+        evec, eval_ = eigenmode_lookup(kx, y, kz, ppd, tables.eig, dtype=fdt)
+        f = (jnp.sqrt(1.0 + 24.0 * eval_ * fdt(cfg.f_cluster)) - 1.0) * fdt(
+            0.25
+        )
+        if cfg.qPLTrescale:
+            rescale = fdt(cfg.plt_rescale_base) ** (fdt(cfg.plt_target_f) - f)
+        else:
+            rescale = fdt(1.0)
+        scale = rescale * fdt(cfg.fundamental) * ik2
+        shape = (cy, ppd, ppd)
+        return jnp.stack(
+            [
+                jnp.broadcast_to(evec[0] * scale, shape).astype(fdt),
+                jnp.broadcast_to(evec[1] * scale, shape).astype(fdt),
+                jnp.broadcast_to(evec[2] * scale, shape).astype(fdt),
+                jnp.broadcast_to(f, shape).astype(fdt),
+            ]
+        )
+
+    out = jax.lax.map(one_chunk, jnp.arange(half // cy))  # (nc, 4, cy, Z, X)
+    out = jnp.moveaxis(out, 1, 0).reshape(4, half, ppd, ppd)
+    return out[0], out[1], out[2], out[3]
 
 
 def _raw_fields_pair(
