@@ -296,3 +296,29 @@ def test_sharded_half_zplanes_layout():
         idx = s.index
         assert idx[-1] == slice(None, None, None) or idx[-1].start is None
         assert s.data.shape[-1] == param.ppd
+
+
+def test_sharded_half_kernel_route_matches(monkeypatch):
+    """The fused draw kernel inside shard_map (TPU route, forced on CPU
+    via ZT_PALLAS_FORCE -> interpret mode, check_vma=False) == the XLA
+    draw-chain route == the in-core half path.
+
+    Regression for the kernel-in-shard_map unlock: pallas_call outputs
+    carry no vma annotation, so the kernel route must build its
+    shard_map with check_vma=False and still agree with the checked XLA
+    route.
+    """
+    param = make_params(ppd=16)
+    model = Zeldovich(param, dtype=jnp.float32)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    want = np.asarray(model.xspace_half_pair_sharded(mesh))  # XLA route
+
+    from zeldovich_tpu.ops.modes_real import _use_pallas, pallas_backend_ok
+
+    assert not pallas_backend_ok()  # CPU: kernel route off by default
+    monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
+    assert pallas_backend_ok() and _use_pallas(jnp.float32)
+    got = np.asarray(model.xspace_half_pair_sharded(mesh))
+    np.testing.assert_allclose(
+        got, want, atol=2e-6 * np.abs(want).max(), rtol=0
+    )

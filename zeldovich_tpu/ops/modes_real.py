@@ -24,6 +24,14 @@ from .modes import SynthConfig, SynthTables, hermitian_source, zero_rules
 from .modes_fast import _reflect_zx
 
 
+def pallas_backend_ok() -> bool:
+    """TPU backend, or the ZT_PALLAS_FORCE test hook (interpret on CPU)."""
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("ZT_PALLAS_FORCE") == "1"
+    )
+
+
 def _use_pallas(dtype) -> bool:
     """Route the draw chain through the fused Pallas kernel (ops/pallas_synth).
 
@@ -625,7 +633,7 @@ def pk_effective_half_src(cfg: SynthConfig, tables: SynthTables, dtype):
 
 def synthesize_half_pair_at(
     y, z, x, cfg: SynthConfig, tables: SynthTables, dtype=jnp.float32,
-    pk_eff=None, accurate: bool = False,
+    pk_eff=None, accurate: bool = False, allow_pallas: bool = False,
 ):
     """Elementwise half-SPECTRUM synthesis at output indices (shardable).
 
@@ -642,9 +650,13 @@ def synthesize_half_pair_at(
     y, z, x = jnp.broadcast_arrays(jnp.asarray(y), jnp.asarray(z), jnp.asarray(x))
     sy, sz, sx, mirror, hard_zero = hermitian_source(y, z, x, ppd)
 
+    # allow_pallas: the fused draw kernel is elementwise (no global-index
+    # assumptions), so x-split shard_map callers can opt in -- they must
+    # build their shard_map with check_vma=False (pallas_call outputs
+    # carry no vma annotation)
     D, F, G, H, f = _raw_fields_pair(
-        sy, sz, sx, cfg, tables, dtype, allow_pallas=False, pk_eff=pk_eff,
-        accurate=accurate,
+        sy, sz, sx, cfg, tables, dtype, allow_pallas=allow_pallas,
+        pk_eff=pk_eff, accurate=accurate,
     )
 
     sign = jnp.where(mirror, dtype(-1), dtype(1))  # conj = negate im

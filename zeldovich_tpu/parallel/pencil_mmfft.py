@@ -147,13 +147,22 @@ def xspace_half_pair_sharded(
     Returns (narray, 2, Y, Z, X) sharded x-split, or with whole z-planes
     per device when ``zplanes`` (the multi-host parallel-output layout).
     """
-    from ..ops.modes_real import synthesize_half_pair_at
+    from ..ops.modes_real import (
+        _use_pallas,
+        pallas_backend_ok,
+        synthesize_half_pair_at,
+    )
 
     ppd = cfg.ppd
     nd = mesh.devices.size
     if ppd % nd:
         raise ValueError(f"grid {ppd} not divisible by {nd} mesh devices")
-    key = (cfg, dtype, mesh, zplanes)
+    # fused draw kernel inside the shard (elementwise, x-split-safe);
+    # pallas_call outputs carry no vma annotation, so the kernel route
+    # builds its shard_map with check_vma=False -- the CPU-mesh parity
+    # tests (vs the dense path) are the correctness check there
+    use_kernel = _use_pallas(dtype) and pallas_backend_ok()
+    key = (cfg, dtype, mesh, zplanes, use_kernel)
     f = _HALF_CACHE.get(key)
     if f is None:
         half = ppd // 2
@@ -165,7 +174,8 @@ def xspace_half_pair_sharded(
             z = jnp.arange(ppd)[None, :, None]
             x = (ix * xp + jnp.arange(xp))[None, None, :]
             spm = synthesize_half_pair_at(
-                y, z, x, cfg, tables, dtype=dtype, pk_eff=pk
+                y, z, x, cfg, tables, dtype=dtype, pk_eff=pk,
+                allow_pallas=use_kernel,
             )
             re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
             re, im = mmfft.cfft_axis(re, im, -2, +1)  # z local
@@ -197,7 +207,7 @@ def xspace_half_pair_sharded(
         f = jax.jit(
             shard_map(
                 kernel, mesh=mesh, in_specs=(tab_spec, pk_spec),
-                out_specs=ospec,
+                out_specs=ospec, check_vma=not use_kernel,
             )
         )
         _HALF_CACHE[key] = f
