@@ -144,15 +144,32 @@ def main():
     coef_spec = jax.tree.map(
         lambda x: S(x.shape, x.dtype), tuple(plt_model.plt_coefs)
     )
+    plt_tspec = jax.tree.map(lambda x: S(x.shape, x.dtype), plt_model.tables)
+    plt_pk = S(plt_model.pk_eff.shape, plt_model.pk_eff.dtype)
     check(
         f"half_pair_forward_plt_{ppd}",
         lambda t, pk, coefs: _half_pair_forward(
             plt_model.cfg, t, pk, jnp.float32, coefs
         ),
-        jax.tree.map(lambda x: S(x.shape, x.dtype), plt_model.tables),
-        S(plt_model.pk_eff.shape, plt_model.pk_eff.dtype),
+        plt_tspec,
+        plt_pk,
         coef_spec,
     )
+    _half_pair_forward.clear_cache()
+
+    # PLT through the mega kernel (opt-in route)
+    os.environ["ZT_PALLAS_MEGA"] = "1"
+    os.environ["ZT_PALLAS_MEGA_PLT"] = "1"
+    check(
+        f"half_pair_forward_plt_mega_{ppd}",
+        lambda t, pk, coefs: _half_pair_forward(
+            plt_model.cfg, t, pk, jnp.float32, coefs
+        ),
+        plt_tspec,
+        plt_pk,
+        coef_spec,
+    )
+    del os.environ["ZT_PALLAS_MEGA"], os.environ["ZT_PALLAS_MEGA_PLT"]
     _half_pair_forward.clear_cache()
 
     if failures:

@@ -321,3 +321,57 @@ def test_plt_forward_route_matches(monkeypatch):
     np.testing.assert_allclose(
         got[:, 0] + 1j * got[:, 1], cplx, atol=2e-5 * np.abs(cplx).max()
     )
+
+
+def test_plt_mega_kernel_matches_composition():
+    """PLT through the mega kernel (interpret) == pack + ky0-fix + XLA
+    z/x transforms with the same coefficient planes."""
+    from zeldovich_tpu.ops import mmfft
+    from zeldovich_tpu.ops.modes_real import synthesize_half_pair
+    from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
+
+    model = _plt_model(ppd=16)
+    cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+    coefs = model.plt_coefs
+
+    spm = synthesize_half_pair(
+        cfg, tables, dtype=jnp.float32, pk_eff=pk_eff
+    )
+    re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+    for ax in (-2, -1):
+        re, im = mmfft.cfft_axis(re, im, ax, +1)
+    want = np.asarray(jnp.stack([re, im], axis=-4))
+
+    got = np.asarray(
+        halfspace_pack_zx_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+            fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+            interpret=True, plt_coefs=coefs,
+        )
+    )
+    assert got.shape == want.shape == (4, 2, 2, 9, 16, 16)
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+@pytest.mark.slow  # 128^3 interpret run (the smallest mega-gated grid)
+def test_plt_mega_forward_route(monkeypatch):
+    """ZT_PALLAS_MEGA_PLT routes the PLT forward through the mega kernel
+    end-to-end (CPU interpret) and matches the default route."""
+    from zeldovich_tpu.models import pipeline as pl_mod
+    from zeldovich_tpu.ops.modes_real import use_mega_forward
+
+    model = _plt_model(ppd=128, NP=128**3, CPD=128)
+    want = np.asarray(model.xspace_half_pair())
+
+    monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
+    monkeypatch.setenv("ZT_PALLAS_MEGA", "1")
+    monkeypatch.setenv("ZT_PALLAS_MEGA_PLT", "1")
+    assert use_mega_forward(
+        model.cfg, model.tables, jnp.float32, model.pk_eff, model.plt_coefs
+    )
+    pl_mod._half_pair_forward.clear_cache()
+    try:
+        got = np.asarray(model.xspace_half_pair())
+    finally:
+        pl_mod._half_pair_forward.clear_cache()
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())

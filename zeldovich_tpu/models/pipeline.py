@@ -445,13 +445,14 @@ def _half_pair_forward(cfg, tables, pk_eff, dtype, plt_coefs=None):
     from ..ops import mmfft
     from ..ops.modes_real import synthesize_half_pair, use_mega_forward
 
-    if use_mega_forward(cfg, tables, dtype, pk_eff):
+    if use_mega_forward(cfg, tables, dtype, pk_eff, plt_coefs):
         from ..ops.pallas_fft import c2r_y_folded_pallas, use_c2r_pallas
         from ..ops.pallas_synth import halfspace_pack_zx_pallas
 
         g = halfspace_pack_zx_pallas(
             cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
             fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+            plt_coefs=plt_coefs if cfg.qPLT else None,
         )
         if use_c2r_pallas(g.dtype, cfg.ppd):
             return c2r_y_folded_pallas(g)

@@ -528,22 +528,22 @@ def mega_route_on(dtype, ppd, qplt=False) -> bool:
 
     if os.environ.get("ZT_NO_PALLAS_MEGA"):
         return False
+    if qplt and os.environ.get("ZT_PALLAS_MEGA_PLT") != "1":
+        # the PLT form (coefficient planes as extra block inputs) is
+        # opt-in until its VMEM footprint is validated on hardware
+        return False
     return (
-        not qplt
-        and (
-            os.environ.get("ZT_PALLAS_MEGA") == "1"
-            or jax.default_backend() == "tpu"
-        )
-        and use_zx_folded(dtype, ppd)
-    )
+        os.environ.get("ZT_PALLAS_MEGA") == "1"
+        or jax.default_backend() == "tpu"
+    ) and use_zx_folded(dtype, ppd)
 
 
-def use_mega_forward(cfg, tables, dtype, pk_eff) -> bool:
+def use_mega_forward(cfg, tables, dtype, pk_eff, plt_coefs=None) -> bool:
     """Full gate for the fused synth+pack+zx mega kernel: the
     env/backend/shape half (mega_route_on) plus every fused-pack
     condition."""
     return mega_route_on(dtype, cfg.ppd, cfg.qPLT) and _use_pallas_pack(
-        cfg, tables, dtype, pk_eff
+        cfg, tables, dtype, pk_eff, plt_coefs
     )
 
 

@@ -560,12 +560,15 @@ def _reflect2d(p, interp):
 
 
 def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
-                    cc_ref, ss_ref, alt_ref, out_ref, *, fixed_power, fdt,
-                    fund, half, ppd, just_density, prec, interp):
+                    *refs, fixed_power, fdt,
+                    fund, half, ppd, just_density, qplt, prec, interp):
     from .pallas_fft import _folded_axis0
 
+    if qplt:
+        cx_ref, cy_ref, cz_ref, f_ref = refs[:4]
+        refs = refs[4:]
+    cc_ref, ss_ref, alt_ref, out_ref = refs
     y = pl.program_id(0)
-    narray = 1 if just_density else 2
 
     @pl.when(y >= half)
     def _():
@@ -597,16 +600,20 @@ def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
             zero = jnp.zeros(shape, fdt)
             arrays = [packings((D_re, D_im), (zero, zero))]
         else:
-            # _finish_fields' expressions (non-PLT: rescale = f = 1)
-            n2 = kx * kx + ky * ky + kz * kz
-            k2 = n2.astype(fdt) * fdt(fund) ** 2
-            ik2 = jnp.where(
-                n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
-            )
-            scale = fdt(1.0) * fdt(fund) * ik2
-            cx = kx.astype(fdt) * scale
-            cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
-            cz = kz.astype(fdt) * scale
+            if qplt:
+                # pre-gathered coefficients (modes_real.plt_coef_fields)
+                cx, cy, cz = cx_ref[0], cy_ref[0], cz_ref[0]
+            else:
+                # _finish_fields' expressions (rescale = f = 1)
+                n2 = kx * kx + ky * ky + kz * kz
+                k2 = n2.astype(fdt) * fdt(fund) ** 2
+                ik2 = jnp.where(
+                    n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
+                )
+                scale = fdt(1.0) * fdt(fund) * ik2
+                cx = kx.astype(fdt) * scale
+                cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
+                cz = kz.astype(fdt) * scale
             F = (-cx * D_im, cx * D_re)
             G = (-cy * D_im, cy * D_re)
             H = (-cz * D_im, cz * D_re)
@@ -614,6 +621,16 @@ def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
                 packings((D_re, D_im), F),   # A = D + iF
                 packings(G, H),              # B = G + iH
             ]
+            if qplt:
+                fg = f_ref[0]
+                zero = jnp.zeros(shape, fdt)
+                Ff = (F[0] * fg, F[1] * fg)
+                Gf = (G[0] * fg, G[1] * fg)
+                Hf = (H[0] * fg, H[1] * fg)
+                arrays += [
+                    packings((zero, zero), Ff),  # A2 = 0 + i f F
+                    packings(Gf, Hf),            # B2 = f G + i f H
+                ]
 
         if do_fix:
             # _fix_ky0_packed's expressions on the resident ky=0 plane
@@ -658,12 +675,13 @@ def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
                                    "interpret"))
 def halfspace_pack_zx_pallas(
     cfg, planes, mzx, czx, pk, fixed_power=False, just_density=False,
-    interpret=None,
+    interpret=None, plt_coefs=None,
 ):
     """Fused synthesis + packing + ky=0 fixup + in-plane (z, x) DFTs.
 
-    Same inputs as halfspace_pack_pallas; returns the TRANSFORMED
-    half-spectrum (narray, 2, 2, half+1, Z, X) -- i.e. what
+    Same inputs as halfspace_pack_pallas (incl. optional PLT coefficient
+    planes); returns the TRANSFORMED half-spectrum
+    (narray, 2, 2, half+1, Z, X) -- i.e. what
     zx_folded_pallas(_fix_ky0_packed(pack(...))) produces -- ready for
     the c2r y-transform.  Tolerance-equal (not bit-equal) to that
     composition: folding changes the contraction order at the ulp level.
@@ -674,7 +692,8 @@ def halfspace_pack_zx_pallas(
 
     fdt = pk.dtype.type
     half, Z, X = pk.shape
-    narray = 1 if just_density else 2
+    qplt = plt_coefs is not None
+    narray = 1 if just_density else (4 if qplt else 2)
     planes = jnp.stack(list(planes), axis=-1)  # (half, 4)
     Cc, Ss, alt = (jnp.asarray(m) for m in _fold_mats(Z))
     from .pallas_fft import _pallas_precision
@@ -706,6 +725,13 @@ def halfspace_pack_zx_pallas(
         ((1, Z, X), (half, Z, X)),
         ((nj, 1, Z, X), (nj, half + 1, Z, X)),
     )
+    args = [planes, *mzx, *czx, pk]
+    in_specs = [pspec] + [mspec] * 8 + [pkspec]
+    if qplt:
+        args += list(plt_coefs)
+        in_specs += [pkspec] * 4  # y-clamped (1, Z, X) blocks like pk
+    args += [Cc, Ss, alt]
+    in_specs += [matspec(Cc.shape), matspec(Ss.shape), matspec(alt.shape)]
     out = pl.pallas_call(
         partial(
             _pack_zx_kernel,
@@ -715,17 +741,17 @@ def halfspace_pack_zx_pallas(
             half=half,
             ppd=cfg.ppd,
             just_density=just_density,
+            qplt=qplt,
             prec=prec,
             interp=interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((nj, half + 1, Z, X), pk.dtype),
         grid=grid,
-        in_specs=[pspec] + [mspec] * 8 + [pkspec]
-        + [matspec(Cc.shape), matspec(Ss.shape), matspec(alt.shape)],
+        in_specs=in_specs,
         out_specs=ospec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(planes, *mzx, *czx, pk, Cc, Ss, alt)
+    )(*args)
     return out.reshape(narray, 2, 2, half + 1, Z, X)
