@@ -157,9 +157,8 @@ def main():
     )
     _half_pair_forward.clear_cache()
 
-    # PLT through the mega kernel (opt-in route)
+    # PLT through the mega kernel (the TPU default route)
     os.environ["ZT_PALLAS_MEGA"] = "1"
-    os.environ["ZT_PALLAS_MEGA_PLT"] = "1"
     check(
         f"half_pair_forward_plt_mega_{ppd}",
         lambda t, pk, coefs: _half_pair_forward(
@@ -169,7 +168,7 @@ def main():
         plt_pk,
         coef_spec,
     )
-    del os.environ["ZT_PALLAS_MEGA"], os.environ["ZT_PALLAS_MEGA_PLT"]
+    del os.environ["ZT_PALLAS_MEGA"]
     _half_pair_forward.clear_cache()
 
     if failures:

@@ -355,8 +355,8 @@ def test_plt_mega_kernel_matches_composition():
 
 @pytest.mark.slow  # 128^3 interpret run (the smallest mega-gated grid)
 def test_plt_mega_forward_route(monkeypatch):
-    """ZT_PALLAS_MEGA_PLT routes the PLT forward through the mega kernel
-    end-to-end (CPU interpret) and matches the default route."""
+    """The PLT forward through the mega kernel (the TPU default route,
+    forced on CPU) matches the separate-kernel route end-to-end."""
     from zeldovich_tpu.models import pipeline as pl_mod
     from zeldovich_tpu.ops.modes_real import use_mega_forward
 
@@ -365,7 +365,6 @@ def test_plt_mega_forward_route(monkeypatch):
 
     monkeypatch.setenv("ZT_PALLAS_FORCE", "1")
     monkeypatch.setenv("ZT_PALLAS_MEGA", "1")
-    monkeypatch.setenv("ZT_PALLAS_MEGA_PLT", "1")
     assert use_mega_forward(
         model.cfg, model.tables, jnp.float32, model.pk_eff, model.plt_coefs
     )

@@ -528,10 +528,9 @@ def mega_route_on(dtype, ppd, qplt=False) -> bool:
 
     if os.environ.get("ZT_NO_PALLAS_MEGA"):
         return False
-    if qplt and os.environ.get("ZT_PALLAS_MEGA_PLT") != "1":
-        # the PLT form (coefficient planes as extra block inputs) is
-        # opt-in until its VMEM footprint is validated on hardware
-        return False
+    # the PLT form is default-on since on-chip validation: bit-identical
+    # to the separate-kernel route (rel = 0 at 512^3) and 82.1 ms vs
+    # 87.3 ms (runs/r4_megaplt.log); ZT_NO_PALLAS_MEGA opts out of both
     return (
         os.environ.get("ZT_PALLAS_MEGA") == "1"
         or jax.default_backend() == "tpu"
