@@ -148,6 +148,8 @@ def test_df64_four_step_transform():
     assert np.abs(four - wpair).max() < 1e-9 * np.abs(wpair).max()
 
 
+@pytest.mark.slow  # ~8 s; the sharded df64 end-to-end tests keep the c2r
+# df64 path covered in the fast tier
 def test_c2r_y_df64_assembled_matches_dense():
     """The assembled (four-step-capable) c2r form == the dense c2r form."""
     from zeldovich_tpu.ops import mmfft

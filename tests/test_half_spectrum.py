@@ -64,7 +64,19 @@ CASES = {
 }
 
 
-@pytest.mark.parametrize("case", sorted(CASES))
+@pytest.mark.parametrize(
+    "case",
+    [
+        # plt is the slowest case (~7 s) and PLT half-spectrum parity is
+        # also covered by test_sharded_half_matches_incore_half[plt]
+        # (f_NL/fixed_power/k_cutoff half parity is also covered by the
+        # pipeline- and mode-level fast tests; plain/onemode/density stay)
+        pytest.param(c, marks=pytest.mark.slow)
+        if c in ("plt", "f_NL", "fixed_power", "k_cutoff")
+        else c
+        for c in sorted(CASES)
+    ],
+)
 def test_half_matches_complex(case):
     model = Zeldovich(make_params(**CASES[case]), dtype=jnp.float64)
     check(model)

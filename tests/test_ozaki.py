@@ -45,6 +45,8 @@ def test_cfft_ozaki_matches_numpy(n, monkeypatch):
     )
 
 
+@pytest.mark.slow  # ~8 s; test_chunked_matches_unchunked keeps ozaki in
+# the fast tier
 def test_half_pipeline_ozaki_parity(monkeypatch):
     """f64 half-spectrum pipeline with int8 matmuls == plain f64 (CPU)."""
     from zeldovich_tpu.models.pipeline import Zeldovich

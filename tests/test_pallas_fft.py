@@ -153,7 +153,16 @@ def test_forced_routing_half_step(monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
 
 
-@pytest.mark.parametrize("narray", [1, 2, 4])
+@pytest.mark.parametrize(
+    "narray",
+    [
+        1,
+        2,
+        # narray=4 (PLT) lead shapes are ~4.5 s and exercised by the PLT
+        # mega-route fast test
+        pytest.param(4, marks=pytest.mark.slow),
+    ],
+)
 def test_kernel_route_lead_shapes(narray):
     """zx + c2r kernels handle density (1), RVZel (2), PLT (4) leads."""
     from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas

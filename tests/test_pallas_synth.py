@@ -119,8 +119,10 @@ def _model(ppd=16, **over):
     [
         {},
         {"ZD_qPk_fix_to_mean": 1},
-        {"ZD_qdensity": 2},
-        {"ZD_k_cutoff": 2.0},
+        # density/k_cutoff only change the draw-chain masks, covered in
+        # the fast tier by the half-spectrum parity cases
+        pytest.param({"ZD_qdensity": 2}, marks=pytest.mark.slow),
+        pytest.param({"ZD_k_cutoff": 2.0}, marks=pytest.mark.slow),
     ],
     ids=["plain", "fixed_power", "density_only", "k_cutoff"],
 )
@@ -187,7 +189,16 @@ def test_pack_kernel_through_transforms():
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
 
 
-@pytest.mark.parametrize("case", ["plain", "density", "fixed"])
+@pytest.mark.parametrize(
+    "case",
+    [
+        "plain",
+        "density",
+        # fixed-power is ~7 s and the fixed draw chain is already covered
+        # by the fast pack-kernel parity test; keep plain+density fast
+        pytest.param("fixed", marks=pytest.mark.slow),
+    ],
+)
 def test_mega_kernel_matches_composition(case):
     """halfspace_pack_zx_pallas (interpret) == pack + ky0-fix + XLA z/x
     transforms, at f32 tolerance (folding reorders the contractions)."""
@@ -263,6 +274,8 @@ def _plt_model(ppd=16, **over):
     )
 
 
+@pytest.mark.slow  # ~10 s; fast-tier PLT pallas coverage stays via the
+# default-route test_plt_mega_kernel_matches_composition
 def test_plt_pack_kernel_matches_xla_pack():
     """The fused pack kernel with pre-gathered PLT coefficient fields ==
     the XLA PLT pack path (4-array layout incl. velocity packings)."""
@@ -293,6 +306,8 @@ def test_plt_pack_kernel_matches_xla_pack():
     np.testing.assert_array_equal(got == 0.0, want == 0.0)
 
 
+@pytest.mark.slow  # ~15 s; the mega composition test keeps the default
+# PLT kernel route in the fast tier
 def test_plt_forward_route_matches(monkeypatch):
     """End-to-end: xspace_half_pair through the fused PLT kernel route
     (ZT_PALLAS_FORCE interpret) == the XLA route, and both == the complex
