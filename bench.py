@@ -215,9 +215,9 @@ def _route(ppd, dtype_name):
     three mutually inconsistent measurements with no route recorded)."""
     import jax.numpy as jnp
 
-    from zeldovich_tpu.ops.mmfft import _resolve_precision
+    from zeldovich_tpu.ops.mmfft import _resolve_precision, precision_name
 
-    prec = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
+    prec = precision_name()
     _resolve_precision(None)  # validate the knob early
     if dtype_name == "df64":
         return {"fft_algo": "ozaki-int8-df64", "fft_precision": "df64"}
@@ -282,8 +282,9 @@ def _roofline(ppd, narray, dt):
     # synthesis write + z/x (one fused pass or two) + c2r read/write
     hbm_bytes = (32 + (64 if zx_folded else 128) + 64) * G
     peak_bf16 = float(os.environ.get("BENCH_PEAK_BF16_TFLOPS", "197")) * 1e12
-    prec = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
-    passes = {"highest": 6, "high": 3, "default": 1}[prec]
+    from zeldovich_tpu.ops.mmfft import precision_name
+
+    passes = {"highest": 6, "high": 3, "default": 1}[precision_name()]
     peak_f32 = peak_bf16 / passes
     peak_hbm = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
     return {

@@ -81,6 +81,28 @@ def main():
                 S((2, 2, n, bz, n), f32),
             )
 
+    # the bf16x3 precision route (ZT_FFT_PRECISION=high realized in-kernel
+    # as manual hi/lo bf16 split dots): Mosaic must lower the mixed
+    # bf16-operand f32-accumulate dot_general.  The kernels read the env
+    # knob at trace time, so clear their jit caches around the flip.
+    import os as _os
+
+    _os.environ["ZT_FFT_PRECISION"] = "high"
+    zx_folded_pallas.clear_cache()
+    c2r_y_folded_pallas.clear_cache()
+    check(
+        "zx_folded_512_bf16x3",
+        partial(zx_folded_pallas, sign=1, interpret=False),
+        S((2, 2, 257, 512, 512), f32),
+    )
+    check(
+        "c2r_512_bf16x3", partial(c2r_y_folded_pallas, interpret=False),
+        S((2, 2, 2, 257, 512, 512), f32),
+    )
+    del _os.environ["ZT_FFT_PRECISION"]
+    zx_folded_pallas.clear_cache()
+    c2r_y_folded_pallas.clear_cache()
+
     # the fused product steps at the bench shape (synthesis kernels + the
     # folded transforms + their composition, exactly as _half_pair_forward
     # dispatches them)

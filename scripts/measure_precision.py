@@ -91,7 +91,9 @@ def main():
             json.dumps(
                 {
                     "ppd": PPD,
-                    "precision": os.environ.get("ZT_FFT_PRECISION", "highest"),
+                    "precision": __import__(
+                        "zeldovich_tpu.ops.mmfft", fromlist=["precision_name"]
+                    ).precision_name(),
                     "platform": jax.devices()[0].platform,
                     "max_abs_err": float(err),
                     "rel_err": float(err / scale),

@@ -21,6 +21,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# the probes compare the kernels against the XLA matmul forms at MATCHED
+# arithmetic; under the TPU default ("high": bf16x3 in-kernel vs 3-pass
+# XLA dots, different roundings) the rel-diff is the precision gap, not a
+# kernel bug -- so parity is validated at highest unless explicitly
+# overridden
+os.environ.setdefault("ZT_FFT_PRECISION", "highest")
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

@@ -277,3 +277,52 @@ def test_y_tiled_oversize_falls_back():
     re, im = mmfft.cfft_axis(zslab[0], zslab[1], -3, +1)
     want = np.asarray(jnp.stack([re, im]))
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
+def test_bf16x3_precision_route(monkeypatch):
+    """ZT_FFT_PRECISION=high inside the kernels: the manual 3-pass bf16
+    split (_kdot's "bf16x3" mode -- Mosaic cannot lower Precision.HIGH)
+    stays within ~1e-5 of the f64 transform, i.e. an 18-bit effective
+    mantissa, vs ~3e-7 for the default 6-pass HIGHEST route."""
+    from zeldovich_tpu.ops.pallas_fft import (
+        _pallas_precision,
+        c2r_y_folded_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    n, h = 32, 16
+    spm = jnp.asarray(rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32)
+    import jax
+    from jax import lax
+
+    re, im = (
+        spm[..., 0, :, :, :].astype(jnp.float64),
+        spm[..., 1, :, :, :].astype(jnp.float64),
+    )
+    for ax in (-2, -1):
+        # pin the reference precision: it must not follow the env knob
+        re, im = mmfft.cfft_axis(re, im, ax, +1,
+                                 precision=lax.Precision.HIGHEST)
+    want_zx = jnp.stack([re, im], axis=-4)
+    want_y = mmfft.c2r_y_pair(
+        want_zx.astype(jnp.float32), precision=lax.Precision.HIGHEST
+    )
+
+    monkeypatch.setenv("ZT_FFT_PRECISION", "high")
+    zx_folded_pallas.clear_cache()
+    c2r_y_folded_pallas.clear_cache()
+    try:
+        assert _pallas_precision() == "bf16x3"
+        got_zx = zx_folded_pallas(spm, +1, interpret=True)
+        scale = float(jnp.abs(want_zx).max())
+        assert float(jnp.abs(got_zx - want_zx).max()) < 2e-5 * scale
+        got_y = np.asarray(
+            c2r_y_folded_pallas(got_zx.astype(jnp.float32), interpret=True)
+        )
+        np.testing.assert_allclose(
+            got_y, np.asarray(want_y), atol=5e-5 * np.abs(want_y).max()
+        )
+    finally:
+        monkeypatch.delenv("ZT_FFT_PRECISION")
+        zx_folded_pallas.clear_cache()
+        c2r_y_folded_pallas.clear_cache()

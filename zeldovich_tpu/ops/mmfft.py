@@ -32,23 +32,46 @@ import numpy as np
 from jax import lax
 
 
-def _resolve_precision(p):
-    """None -> the ZT_FFT_PRECISION env knob (default: highest).
+def precision_name() -> str:
+    """The resolved ZT_FFT_PRECISION knob name.
 
-    TPU "f32" matmuls are multi-pass bf16: highest = 6 passes (the
-    default -- the measured 8.8e-6 f32-path displacement error), high = 3
-    passes (~1.8x transform throughput for ~1 fewer decimal digit),
+    Unset, the default is backend-dependent: "high" on TPU and "highest"
+    everywhere else.  On a v5e the end-to-end f32 displacement error of
+    the two is nearly identical -- 2.15e-5 (high) vs 1.92e-5 (highest)
+    at 128^3, measured vs the CPU f64 reference
+    (runs/precision_r4.log) -- because the f32 draw chain, not the
+    transform dots, dominates the error budget; high runs the 512^3 step
+    1.25x faster (38.9 vs 48.7 ms, runs/profile_step_high.log).  Off-TPU,
+    "highest" keeps f32 test references exact: CPU dots ignore the flag,
+    but the interpret-mode kernels would apply the bf16x3 split
+    literally (pallas_fft._kdot).
+    """
+    name = os.environ.get("ZT_FFT_PRECISION", "").lower()
+    if not name:
+        import jax
+
+        name = "high" if jax.default_backend() == "tpu" else "highest"
+    return name
+
+
+def _resolve_precision(p):
+    """None -> the ZT_FFT_PRECISION env knob (see precision_name).
+
+    TPU "f32" matmuls are multi-pass bf16: highest = 6 passes, high = 3
+    passes (inside Pallas kernels realized as the explicit bf16x3
+    operand split, pallas_fft._kdot -- Mosaic cannot lower HIGH),
     default = 1 pass (unusable for parity; exposed for experiments).
-    Explicit precision arguments are passed through untouched.
+    The df64 mode is untouched by this knob: its transforms run on the
+    int8-limb ozaki matmuls.  Explicit precision arguments are passed
+    through untouched.
     """
     if p is not None:
         return p
-    name = os.environ.get("ZT_FFT_PRECISION", "highest").lower()
     return {
         "default": lax.Precision.DEFAULT,
         "high": lax.Precision.HIGH,
         "highest": lax.Precision.HIGHEST,
-    }[name]
+    }[precision_name()]
 
 
 #: Below this length a single dense N x N DFT matmul is used instead of the

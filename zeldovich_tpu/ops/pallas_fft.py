@@ -33,20 +33,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pallas_precision():
-    """The ZT_FFT_PRECISION knob, clamped to what Mosaic can lower.
+    """The ZT_FFT_PRECISION knob, in a form Mosaic can lower.
 
     Mosaic's dot_general supports DEFAULT and HIGHEST only; HIGH (the
-    3-pass XLA experiment setting) would fail kernel lowering, so it maps
-    to HIGHEST here -- the folded kernels spend 3x fewer MACs than the
-    unfolded XLA route, so HIGHEST-in-kernel still beats HIGH-in-XLA
-    (measured: 58 ms vs 114 ms at 512^3 on a v5e).
+    3-pass bf16 mode XLA uses outside kernels) is realized in-kernel by
+    _kdot as an explicit hi/lo bf16 operand split -- the sentinel
+    "bf16x3" selects it.  DEFAULT and HIGHEST pass through.
     """
     from jax import lax
 
     from .mmfft import _resolve_precision
 
     p = _resolve_precision(None)
-    return lax.Precision.HIGHEST if p == lax.Precision.HIGH else p
+    return "bf16x3" if p == lax.Precision.HIGH else p
+
+
+def _kdot(M, x, prec, dims=(((1,), (0,)), ((), ()))):
+    """lax.dot_general honoring the precision knob inside a Mosaic kernel.
+
+    "bf16x3" is XLA's Precision.HIGH (3 bf16 MXU passes) written out by
+    hand, since Mosaic only lowers DEFAULT and HIGHEST: split each f32
+    operand into a bf16 high part and a bf16 residual, accumulate the
+    three significant cross products in f32, and drop lo*lo (~2^-18
+    relative -- the same arithmetic XLA emits for HIGH).  Halves the MXU
+    passes vs HIGHEST at ~18-bit effective mantissa; the measured
+    displacement error of the full step is in scripts/measure_precision
+    runs (README precision ladder).
+    """
+    d = partial(lax.dot_general, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+    if prec != "bf16x3":
+        return d(M, x, precision=prec)
+    d = partial(d, precision=lax.Precision.DEFAULT)
+    Mh = M.astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    Ml = (M - Mh.astype(jnp.float32)).astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(Mh, xh) + (d(Mh, xl) + d(Ml, xh))
 
 
 @lru_cache(maxsize=None)
@@ -97,12 +120,7 @@ def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
     """Complex folded DFT contracting the first (sublane) axis of (n, X)."""
     n = re.shape[0]
     h = n // 2
-    dot = partial(
-        lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    dot = partial(_kdot, prec=prec)
 
     def fold(x):
         # e[j] = x[j] + x[n-j], o[j] = x[j] - x[n-j]: the reversed tail
@@ -479,12 +497,7 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
         cols_b += [spi + smi, smr - spr]  # twoDi, twoFi
     a = jnp.concatenate(cols_a, axis=1)
     b = jnp.concatenate(cols_b, axis=1)
-    dot = partial(
-        lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    dot = partial(_kdot, prec=prec)
     halfc = jnp.float32(0.5)
     P = dot(Cm, a[1:h]) + halfc * a[0:1] + halfc * alt * a[h:h + 1]
     Q = dot(Sm, b[1:h])
