@@ -11,7 +11,11 @@ from zeldovich_tpu.ops.pallas_synth import boxmuller_pallas
 
 
 def states_for(seed, ppd):
-    mzt, czt = pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+    # the kernel contract takes the state at the mode's FIRST draw: the z
+    # table carries one pre-folded LCG step (pcg.prebump_axis_tables)
+    mzt, czt = pcg.prebump_axis_tables(
+        *pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+    )
     mxt, cxt = pcg.axis_affine_tables(ppd, 2)
     planes = pcg.plane_state_table(seed, ppd)
     ys, zs, xs = np.meshgrid(
@@ -41,8 +45,8 @@ def test_matches_jnp_path(fixed):
         state, pk, live, fixed_power=fixed, interpret=True
     )
 
-    # reference: jnp path
-    s1 = pcg_device.bump(state)
+    # reference: jnp path (state IS the draw-1 state)
+    s1 = state
     s2 = pcg_device.bump(s1)
     R = pcg_device.uniform_from_u64(pcg_device.output_u64(s1), jnp.float32)
     T = pcg_device.uniform_from_u64(pcg_device.output_u64(s2), jnp.float32)
@@ -63,7 +67,7 @@ def test_integer_chain_bit_exact():
     live = jnp.ones((ppd // 2, ppd, ppd), jnp.float64)
     got_re, got_im = boxmuller_pallas(state, pk, live, interpret=True)
 
-    s1 = pcg_device.bump(state)
+    s1 = state  # draw-1 state: the jump tables carry the first bump
     s2 = pcg_device.bump(s1)
     R = pcg_device.uniform_from_u64(pcg_device.output_u64(s1), jnp.float64)
     T = pcg_device.uniform_from_u64(pcg_device.output_u64(s2), jnp.float64)

@@ -45,7 +45,10 @@ def test_uniform_conversion():
 def test_mode_uniforms_match_host():
     """Full pipeline: tables + device compose == host scalar advance."""
     seed, ppd = 12346, 16
-    mzt, czt = pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+    # mode_uniform_pair's contract: the z table is pre-bumped
+    mzt, czt = pcg.prebump_axis_tables(
+        *pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+    )
     mxt, cxt = pcg.axis_affine_tables(ppd, 2)
     planes = pcg.plane_state_table(seed, ppd)
 

@@ -117,15 +117,20 @@ class SynthTables:
     # under TPU tiling, inflating the tables and every materialized
     # draw-chain intermediate by 32x (see ops/pcg_device.py).
     planes: tuple  # 4 x (ppd//2,) u32 per-y-plane RNG states
-    mz: tuple  # 4 x (ppd,) u32 z-axis affine multipliers
-    cz: tuple  # 4 x (ppd,) u32 z-axis affine increments
+    # the z (outer) affine table carries one pre-folded LCG step
+    # (pcg.prebump_axis_tables): applying the composed map yields the
+    # state at the mode's FIRST draw directly
+    mz: tuple  # 4 x (ppd,) u32 z-axis affine multipliers (pre-bumped)
+    cz: tuple  # 4 x (ppd,) u32 z-axis affine increments (pre-bumped)
     mx: tuple  # 4 x (ppd,) u32 x-axis affine multipliers
     cx: tuple  # 4 x (ppd,) u32 x-axis affine increments
     pk_n2: jax.Array  # (3*(ppd/2)^2+1,) f64 P(|k|) by integer n2
     M_n2: jax.Array | None  # same-indexed f_NL M(k, a) factor
     eig: jax.Array | None  # (ppd_e, ppd_e, ppd_e//2+1, 4) PLT eigenmodes
-    # precomposed (z, x) jump maps: 4 x (ppd, ppd) u32 -- cuts a mode's
-    # 128-bit multiplies from 5 to 3; built once on device at setup
+    # precomposed (z, x) jump maps: 4 x (ppd, ppd) u32 -- with the
+    # pre-bumped z table this cuts a mode's 128-bit multiplies from 5 to
+    # 2 (one madd lands on the draw-1 state, one bump gives draw 2);
+    # built once on device at setup
     mzx: tuple | None = None
     czx: tuple | None = None
 
@@ -158,7 +163,13 @@ class SynthTables:
         eig=None,
         precompose: bool | None = None,
     ) -> "SynthTables":
-        mz, cz = pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+        # the z (outer) table carries one pre-folded LCG step, so applying
+        # the composed (z, x) map lands directly on the state at the
+        # mode's first draw -- one fewer 128-bit madd per mode in every
+        # draw chain (pcg.prebump_axis_tables)
+        mz, cz = pcg.prebump_axis_tables(
+            *pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+        )
         mx, cx = pcg.axis_affine_tables(ppd, 2)
 
         def split(a, bcast=None):  # (n, 4) host -> 4 x (n,) device tuple

@@ -11,8 +11,9 @@ This kernel does the whole draw chain in *pure uint32* arithmetic (TPU has
 no native 64-bit integers; 32x32 products are built from 16-bit-limb
 partial products with explicit carries), entirely in VMEM:
 
-  inputs : the per-mode RNG state after the affine jump (4 u32 planes),
-           P(k) per mode, and the zero-rule mask
+  inputs : the per-mode RNG state at the mode's FIRST draw (4 u32
+           planes; the affine jump tables are pre-bumped by one LCG step,
+           pcg.prebump_axis_tables), P(k) per mode, and the zero-rule mask
   outputs: D_re, D_im -- the complex Gaussian deviate scaled by sqrt(P)
 
 The affine jump itself (one 128-bit multiply-add against per-mode table
@@ -193,8 +194,12 @@ def _madd128(m, s, c):
 
 
 def _draw_chain(s0, s1, s2, s3, pk, live, fixed_power, fdt):
-    """Two draws -> Box-Muller -> (D_re, D_im)."""
-    s0, s1, s2, s3 = _bump(s0, s1, s2, s3)
+    """Two draws -> Box-Muller -> (D_re, D_im).
+
+    The input state IS the first draw's state (the jump tables are
+    pre-bumped, pcg.prebump_axis_tables), so only the second draw costs
+    a bump here.
+    """
     lo, hi = _xsl_rr(s0, s1, s2, s3)
     R = _uniform(lo, hi, fdt)
     s0, s1, s2, s3 = _bump(s0, s1, s2, s3)
@@ -229,7 +234,9 @@ def _kernel(s0_ref, s1_ref, s2_ref, s3_ref, pk_ref, live_ref, re_ref, im_ref,
 def boxmuller_pallas(state, pk, live, fixed_power=False, interpret=None):
     """D = live * cgauss(pk) from per-mode jumped states, fused on-chip.
 
-    state: tuple of 4 u32 limb planes -- RNG state at the mode's draws
+    state: tuple of 4 u32 limb planes -- RNG state at the mode's FIRST
+           draw (the jump map applied to the plane state; the tables
+           carry the first LCG bump)
     pk:    (...) float -- P(|k|) per mode
     live:  (...) float -- 0.0 for zeroed modes, 1.0 otherwise
     Returns (D_re, D_im) float arrays shaped like pk.

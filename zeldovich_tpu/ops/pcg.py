@@ -225,6 +225,29 @@ def axis_affine_tables(ppd: int, axis_stride: int) -> tuple[np.ndarray, np.ndarr
     return m, c
 
 
+def prebump_axis_tables(m: np.ndarray, c: np.ndarray):
+    """Fold one LCG step into an axis affine table (bump ∘ jump).
+
+    The composed map sends the plane state straight to the state at the
+    mode's FIRST output draw (pcg64 is advance-then-output:
+    output_previous == false for 128-bit state engines,
+    pcg_random.hpp:381-386,827), saving one 128-bit madd per mode in every
+    draw chain; the second draw is one further bump.  Applied to the
+    OUTER (z) axis at table build so the precomposed (z, x) maps and the
+    on-the-fly compose path inherit it identically
+    (pcg_device.uniform_pair_from_affine documents the matching
+    contract).
+    """
+    step = (PCG64_MULT, PCG64_INC)
+    mo = np.empty_like(m)
+    co = np.empty_like(c)
+    for i in range(m.shape[0]):
+        mm, cc = compose_affine(step, (from_limbs32(m[i]), from_limbs32(c[i])))
+        mo[i] = to_limbs32(mm)
+        co[i] = to_limbs32(cc)
+    return mo, co
+
+
 def plane_state_table(seed: int, ppd: int) -> np.ndarray:
     """uint32-limb array (ppd//2, 4) of per-y-plane start states."""
     states = plane_states(seed, ppd // 2)

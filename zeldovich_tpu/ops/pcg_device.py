@@ -16,9 +16,12 @@ host boundaries (tests, table construction).
 
 The host precomputes, per grid axis, the affine jump-ahead coefficients
 ``(m_i, c_i)`` that position the generator at logical slot ``i`` of the
-virtual 65536-wide axis (see ``zeldovich_tpu/ops/pcg.py``).  On device, a
-mode's two uniforms then cost: one affine compose (2 mul128 + 1 madd128),
-one state application (madd128), two LCG bumps (madd128), and two XSL-RR
+virtual 65536-wide axis (see ``zeldovich_tpu/ops/pcg.py``); the z (outer)
+table additionally folds in one LCG step (``pcg.prebump_axis_tables``) so
+the composed map lands directly on the state at the mode's first output
+draw.  On device, a mode's two uniforms then cost: one state application
+(madd128 -- the (z, x) compose itself is one-time setup work when the 2-D
+tables are precomposed), one LCG bump for the second draw, and two XSL-RR
 output permutations -- all elementwise VPU work with no cross-lane traffic.
 
 Semantics are bit-exact with the reference's vendored pcg_random.hpp
@@ -208,8 +211,7 @@ def uniform_pair_split_from_affine(plane_state, m, c):
 
     Returns (R_hi, R_lo, T_hi, T_lo): both 64-bit draws as f32 hi/lo pairs.
     """
-    state = madd128(m, plane_state, c)
-    s1 = bump(state)
+    s1 = madd128(m, plane_state, c)  # (m, c) is pre-bumped: draw-1 state
     s2 = bump(s1)
     return (*split_uniform_f32(output_u64(s1)), *split_uniform_f32(output_u64(s2)))
 
@@ -218,7 +220,8 @@ def mode_uniform_pair(plane_state, mz, cz, mx, cx, dtype=jnp.float64):
     """The two uniforms (R, theta_frac) for a batch of modes.
 
     plane_state: limb tuple -- the y-plane start state per mode
-    mz, cz:      limb tuples -- z-axis affine coefficients per mode
+    mz, cz:      limb tuples -- PRE-BUMPED z-axis affine coefficients per
+                 mode (pcg.prebump_axis_tables)
     mx, cx:      limb tuples -- x-axis affine coefficients per mode
 
     Returns (R, theta_frac) arrays of the broadcast shape, in (0, 1].
@@ -230,11 +233,13 @@ def mode_uniform_pair(plane_state, mz, cz, mx, cx, dtype=jnp.float64):
 def uniform_pair_from_affine(plane_state, m, c, dtype=jnp.float64):
     """Uniforms from a precomposed per-mode jump map (m, c).
 
-    With the (z, x) affine maps precomposed into 2-D tables (one-time
-    device work at setup), a mode costs 3 mul128 instead of 5.
+    CONTRACT: (m, c) is a *pre-bumped* map (pcg.prebump_axis_tables folds
+    one LCG step into the z-axis table at build), so the single madd lands
+    directly on the state at the mode's first output draw; the second
+    draw is one further bump.  With the (z, x) maps also precomposed into
+    2-D tables at setup, a mode costs 2 mul128 instead of 5.
     """
-    state = madd128(m, plane_state, c)
-    s1 = bump(state)
+    s1 = madd128(m, plane_state, c)
     s2 = bump(s1)
     return (
         uniform_from_u64(output_u64(s1), dtype),
