@@ -109,8 +109,13 @@ def bracket(name):
 
 from zeldovich_tpu.ops.mmfft import precision_name
 
+only = os.environ.get("AB_ONLY")
+names = [n for n in VARIANTS if not only or n in only.split(",")]
 out = {"n": N, "precision": precision_name()}
-for name in VARIANTS:
+for k in ("ZT_C2R_ZB", "ZT_C2R_WIDTH"):
+    if os.environ.get(k):
+        out[k] = os.environ[k]
+for name in names:
     try:
         out[name + "_ms"] = round(bracket(name) * 1e3, 2)
         print(json.dumps(out), flush=True)

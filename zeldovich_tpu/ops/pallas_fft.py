@@ -533,7 +533,12 @@ def c2r_y_folded_pallas(spm, interpret=None):
     Cm, Sm = jnp.asarray(Cm), jnp.asarray(Sm)
     prec = _pallas_precision()
     # z-block of 8 (Mosaic sublane rule); lane tile sized so the
-    # concatenated dot width zb*2*Xb stays ~4096 (VMEM and MXU sweet spot)
+    # concatenated dot width zb*2*Xb stays at 4096 -- re-measured at the
+    # bf16x3 precision default: 14.8 ms at 512^3, and EVERY wider config
+    # (width 8192+, zb 16) VMEM-OOMs at compile because the fold temps and
+    # spill slots scale with the dot width on top of the ~67M in+out
+    # windows (runs/c2r_tile_ab.log, scripts/c2r_tile_ab.sh).  The sweet
+    # spot and the VMEM wall coincide here; don't widen.
     zb = 8 if Z % 8 == 0 else Z
     Xb = X
     while Xb > 128 and Xb % 256 == 0 and zb * 2 * Xb > 4096:
