@@ -51,6 +51,8 @@ def test_pair_gen_phi_and_input():
     np.testing.assert_allclose(pair, want, atol=2e-15 * np.abs(want).max(), rtol=0)
 
 
+@pytest.mark.slow  # ~4 s; PLT pair parity stays fast via test_fast_plt
+# and the sharded PLT half-spectrum test
 def test_pair_plt(tmp_path):
     from test_plt import synthetic_table
     from zeldovich_tpu.ops import plt as plt_ops

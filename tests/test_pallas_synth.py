@@ -197,9 +197,10 @@ def test_pack_kernel_through_transforms():
     "case",
     [
         "plain",
-        "density",
-        # fixed-power is ~7 s and the fixed draw chain is already covered
-        # by the fast pack-kernel parity test; keep plain+density fast
+        # density/fixed are ~5-7 s; the density and fixed draw chains are
+        # covered fast by the half-spectrum parity cases -- keep the
+        # default (plain) mega composition fast
+        pytest.param("density", marks=pytest.mark.slow),
         pytest.param("fixed", marks=pytest.mark.slow),
     ],
 )
