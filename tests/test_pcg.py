@@ -161,3 +161,28 @@ def test_axis_affine_tables():
 def test_limb_roundtrip():
     v = pcg.seed_state(31337)
     assert pcg.from_limbs32(pcg.to_limbs32(v)) == v
+
+
+def test_prebump_axis_tables():
+    """The pre-bumped z table composed with x lands on the draw-1 state:
+    advance(s0, offset) followed by ONE LCG bump (pcg64 advance-then-
+    output), for every (z, x)."""
+    ppd = 16
+    mz, cz = pcg.prebump_axis_tables(
+        *pcg.axis_affine_tables(ppd, 2 * pcg.MAX_PPD)
+    )
+    mx, cx = pcg.axis_affine_tables(ppd, 2)
+    s0 = pcg.seed_state(777)
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        z = int(rng.integers(0, ppd))
+        x = int(rng.integers(0, ppd))
+        m = (pcg.from_limbs32(mz[z]) * pcg.from_limbs32(mx[x])) & pcg.MASK128
+        c = (
+            pcg.from_limbs32(mz[z]) * pcg.from_limbs32(cx[x])
+            + pcg.from_limbs32(cz[z])
+        ) & pcg.MASK128
+        got = (m * s0 + c) & pcg.MASK128
+        jumped = pcg.advance(s0, pcg.mode_draw_offset(0, z, x, ppd))
+        want = (jumped * pcg.PCG64_MULT + pcg.PCG64_INC) & pcg.MASK128
+        assert got == want, (z, x)
