@@ -138,8 +138,20 @@ def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
     # per-column results)
     Xw = re.shape[1]
     e2, o2, ny2 = fold(jnp.concatenate([re, im], axis=1))
-    Rc = dot(Cc, e2) + alt * ny2
-    Rs = dot(Ss, o2)
+    # The MXU tiles output rows in 128s: h+1 rows (e.g. 257 at n = 512)
+    # pad to h+128, wasting up to a third of the M axis.  Row h is
+    # analytic -- Cc[h, j] = cos(pi j) = (-1)^j and Ss[h, :] = 0 -- so
+    # the dots run with exactly h rows and row h is one cheap VPU
+    # alternating-sign reduction (exact f32, more accurate than the
+    # bf16x3 dot row it replaces).
+    sgnj = (
+        1 - 2 * (lax.broadcasted_iota(jnp.int32, (h, 1), 0) & 1)
+    ).astype(e2.dtype)
+    Rc_h = jnp.sum(e2 * sgnj, axis=0, keepdims=True)
+    Rc = jnp.concatenate([dot(Cc[:h], e2), Rc_h], axis=0) + alt * ny2
+    Rs = jnp.concatenate(
+        [dot(Ss[:h], o2), jnp.zeros((1, o2.shape[1]), o2.dtype)], axis=0
+    )
     Rc_re, Rc_im = Rc[:, :Xw], Rc[:, Xw:]
     Rs_re, Rs_im = Rs[:, :Xw], Rs[:, Xw:]
     # out[k<=h] = Rc -/+ sg*Rs;  out[n-k] = mirror with the sign flipped
@@ -499,8 +511,23 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
     b = jnp.concatenate(cols_b, axis=1)
     dot = partial(_kdot, prec=prec)
     halfc = jnp.float32(0.5)
-    P = dot(Cm, a[1:h]) + halfc * a[0:1] + halfc * alt * a[h:h + 1]
-    Q = dot(Sm, b[1:h])
+    # same M-axis trick as _folded_axis0: Cm[h, k] = cos(pi k) = (-1)^k
+    # and Sm[h, :] = 0, so the dots run with exactly h output rows (no
+    # 128-row padding waste) and row h is a VPU alternating reduction
+    # over k = 1..h-1 (iota row i == k-1, so the sign is -(-1)^i)
+    am, bm = a[1:h], b[1:h]
+    sgnk = (
+        2 * (lax.broadcasted_iota(jnp.int32, (h - 1, 1), 0) & 1) - 1
+    ).astype(am.dtype)
+    P_h = jnp.sum(am * sgnk, axis=0, keepdims=True)
+    P = (
+        jnp.concatenate([dot(Cm[:h], am), P_h], axis=0)
+        + halfc * a[0:1]
+        + halfc * alt * a[h:h + 1]
+    )
+    Q = jnp.concatenate(
+        [dot(Sm[:h], bm), jnp.zeros((1, bm.shape[1]), bm.dtype)], axis=0
+    )
     top = P + Q  # y = 0..h
     T = P - Q  # out[y > h] = T[n - y]
     V = jnp.concatenate([T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], axis=0)
