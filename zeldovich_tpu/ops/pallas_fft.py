@@ -116,6 +116,96 @@ def _rev_rows(x, interp):
     return x
 
 
+def _rev_lanes(x, interp):
+    """Reverse the (power-of-two) lane axis of (R, n) -- the lane twin of
+    _rev_rows, same masked-circular-shift butterfly."""
+    if interp:
+        return lax.rev(x, (1,))
+    n = x.shape[1]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    b = n
+    while b >= 2:
+        s = b // 2
+        fwd = pltpu.roll(x, jnp.int32(n - s), 1)
+        bwd = pltpu.roll(x, jnp.int32(s), 1)
+        in_first = (idx & jnp.int32(b - 1)) < jnp.int32(s)
+        x = jnp.where(in_first, fwd, bwd)
+        b = s
+    return x
+
+
+def _folded_axis1(re, im, Cc, Ss, sg, prec, interp):
+    """Complex folded DFT contracting the LAST (lane) axis of (R, n).
+
+    The lane twin of _folded_axis0: contraction dims ((1,),(1,)) keep the
+    data in its natural orientation, so the x-axis pass of a (z, x) plane
+    needs no VMEM transposes (the transpose form costs 4 per plane pair).
+    Fold/mirror reversals ride half-extent lane-roll butterflies; the
+    head/Nyquist columns and the k = h output column are handled
+    arithmetically (an (-1)^j lane reduction and an iota-built (-1)^k
+    row) instead of the unaligned 1-wide lane concats Mosaic relayouts
+    poorly.  Same math/convention as _folded_axis0.
+    """
+    n = re.shape[1]
+    h = n // 2
+    R = re.shape[0]
+    dotT = partial(_kdot, prec=prec, dims=(((1,), (1,)), ((), ())))
+
+    x2 = jnp.concatenate([re, im], axis=0)  # (2R, n): share the matrices
+    idx = lax.broadcasted_iota(jnp.int32, x2.shape, 1)
+    padh = jnp.zeros((2 * R, h), x2.dtype)
+
+    def half_rev(v):
+        # reverse an (R, h) half: 8 butterfly rounds instead of 9 full
+        return lax.rev(v, (1,)) if interp else _rev_lanes(v, interp)
+
+    def shift_right(v, s):
+        # zero-padded (not circular in the consumed region) right shift
+        return (
+            jnp.roll(v, s, axis=1) if interp
+            else pltpu.roll(v, jnp.int32(s), 1)
+        )
+
+    # r1[:, j] = x[:, n - j] for j = 1..h (col 0 lands zero -> e[0] = x0,
+    # the single-count head; cos col j=0 is ones so no halving needed)
+    u = half_rev(x2[:, h:])  # u[q] = x[n-1-q]
+    r1 = shift_right(jnp.concatenate([u, padh], axis=1), 1)
+    e_full = x2 + r1
+    o_full = x2 - r1  # col 0 = x0, but sin col j=0 is zero: ignored
+    eh = e_full[:, :h]
+    # Rc cols 0..h-1 by the dot; col h is the (-1)^j VPU lane reduction
+    # (exact f32 -- the same M-axis trick as _folded_axis0, transposed)
+    sgnj = (
+        1 - 2 * (lax.broadcasted_iota(jnp.int32, (1, h), 1) & 1)
+    ).astype(x2.dtype)
+    Rc_h = jnp.sum(eh * sgnj, axis=1, keepdims=True)  # (2R, 1)
+    Rc = jnp.concatenate([dotT(eh, Cc[:h]), padh], axis=1)  # aligned h|h
+    Rc = jnp.where(idx == h, Rc_h, Rc)
+    # Nyquist column j = h contributes alt[k] * x[h] for k <= h
+    xh = jnp.sum(jnp.where(idx == h, x2, 0), axis=1, keepdims=True)
+    alt_row = jnp.where(
+        idx <= h, (1 - 2 * (idx & 1)).astype(x2.dtype), x2.dtype.type(0)
+    )
+    Rc = Rc + alt_row * xh
+    Rs = jnp.concatenate([dotT(o_full[:, :h], Ss[:h]), padh], axis=1)
+    Rc_re, Rc_im = Rc[:R], Rc[R:]
+    Rs_re, Rs_im = Rs[:R], Rs[R:]
+    # out[k <= h] = Rc -/+ sg*Rs; out[n-k] = the mirror, sign flipped
+    top2 = jnp.concatenate(
+        [Rc_re - sg * Rs_im, Rc_im + sg * Rs_re], axis=0
+    )  # zero beyond col h by construction
+    t2 = jnp.concatenate(
+        [Rc_re + sg * Rs_im, Rc_im - sg * Rs_re], axis=0
+    )
+    # mirror: out[:, p > h] = t[:, n - p] = t[:, h-1-q] at q = p-h-1.
+    # Reverse only t's first h cols (half-extent butterfly) and shift
+    # the result to cols h+1.. (the wrap lands in the masked region).
+    mh = half_rev(t2[:, :h])  # mh[q] = t[h-1-q]
+    m2 = shift_right(jnp.concatenate([mh, padh], axis=1), h + 1)
+    out2 = top2 + jnp.where(idx > h, m2, 0)
+    return out2[:R], out2[R:]
+
+
 def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
     """Complex folded DFT contracting the first (sublane) axis of (n, X)."""
     n = re.shape[0]
@@ -124,10 +214,11 @@ def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
 
     def fold(x):
         # e[j] = x[j] + x[n-j], o[j] = x[j] - x[n-j]: the reversed tail
-        # x[n-1]..x[h+1] is rows 0..h-2 of the full-row reversal
-        rev = _rev_rows(x, interp)
+        # x[n-1]..x[h+1] only needs the upper half reversed (8 butterfly
+        # rounds on h rows instead of 9 on n -- the lower half of a full
+        # reversal is never consumed)
         head = x[:1]
-        mid, tail = x[1:h], rev[: h - 1]
+        mid, tail = x[1:h], _rev_rows(x[h:], interp)[: h - 1]
         e = jnp.concatenate([head, mid + tail], axis=0)
         o = jnp.concatenate([jnp.zeros_like(head), mid - tail], axis=0)
         return e, o, x[h:h + 1]
@@ -160,11 +251,9 @@ def _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp):
     T2 = jnp.concatenate(
         [Rc_re + sg * Rs_im, Rc_im - sg * Rs_re], axis=1
     )
-    # out[p > h] = T[n - p]: place T[1:] (h rows) at the top of an n-row
-    # buffer, full-reverse it (one butterfly for both components), and
-    # keep rows h+1..n-1
-    V = jnp.concatenate([T2[1:], jnp.zeros((h, 2 * Xw), T2.dtype)], 0)
-    W = _rev_rows(V, interp)[h + 1:]
+    # out[p > h] = T[n - p] = T[h-1-q] at q = p-h-1: reverse only T's
+    # first h rows (half-extent butterfly, one pass for both components)
+    W = _rev_rows(T2[:h], interp)[: h - 1]
     out_re = jnp.concatenate([top_re, W[:, :Xw]], axis=0)
     out_im = jnp.concatenate([top_im, W[:, Xw:]], axis=0)
     return out_re, out_im
@@ -177,10 +266,10 @@ def _zx_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
     Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
     # z axis: contract sublanes directly
     re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp)
-    # x axis: transpose in VMEM, contract, transpose back
-    re, im = _folded_axis0(re.T, im.T, Cc, Ss, alt, sg, prec, interp)
-    out_ref[0, 0, 0] = re.T
-    out_ref[0, 1, 0] = im.T
+    # x axis: contract lanes directly (no VMEM transposes)
+    re, im = _folded_axis1(re, im, Cc, Ss, sg, prec, interp)
+    out_ref[0, 0, 0] = re
+    out_ref[0, 1, 0] = im
 
 
 @partial(jax.jit, static_argnames=("sign", "interpret"))
@@ -244,12 +333,13 @@ def _z_tile_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
 def _x_tile_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
                    interp):
     """Folded transform along x (lanes) of one (w, n) sublane stripe."""
+    del alt_ref  # the lane form builds its (-1)^k row from iota
     re = spm_ref[0, 0, 0]
     im = spm_ref[0, 1, 0]
-    r, i = _folded_axis0(
-        re.T, im.T, cc_ref[...], ss_ref[...], alt_ref[...], sg, prec, interp
+    r, i = _folded_axis1(
+        re, im, cc_ref[...], ss_ref[...], sg, prec, interp
     )
-    out_ref[0, 0, 0], out_ref[0, 1, 0] = r.T, i.T
+    out_ref[0, 0, 0], out_ref[0, 1, 0] = r, i
 
 
 @partial(jax.jit, static_argnames=("sign", "tile", "interpret"))
@@ -529,9 +619,8 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
         [dot(Sm[:h], bm), jnp.zeros((1, bm.shape[1]), bm.dtype)], axis=0
     )
     top = P + Q  # y = 0..h
-    T = P - Q  # out[y > h] = T[n - y]
-    V = jnp.concatenate([T[1:], jnp.zeros((h, T.shape[1]), T.dtype)], axis=0)
-    full = jnp.concatenate([top, _rev_rows(V, interp)[h + 1:]], axis=0)
+    T = P - Q  # out[y > h] = T[n - y] = T[h-1-q] at q = y-h-1
+    full = jnp.concatenate([top, _rev_rows(T[:h], interp)[: h - 1]], axis=0)
     for zi in range(zb):
         out_ref[0, 0, :, zi] = full[:, (2 * zi) * X:(2 * zi + 1) * X]
         out_ref[0, 1, :, zi] = full[:, (2 * zi + 1) * X:(2 * zi + 2) * X]
