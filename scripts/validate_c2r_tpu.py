@@ -70,11 +70,28 @@ def probe(name, fn, tol=2e-6):
         return False
 
 
-for n in [int(s) for s in os.environ.get("VAL_N", "256,512").split(",") if s]:
+for n in [int(s) for s in os.environ.get("VAL_N", "128,256,512").split(",") if s]:
     h = n // 2
     rng = np.random.default_rng(11)
     spm = jnp.asarray(rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32)
     assert use_c2r_pallas(spm.dtype, n), f"gate refused n={n}"
+
+    # zx_folded vs the XLA matmul form at every gated n -- including the
+    # gate's lower bound n=128, where the sub-lane-width pltpu.roll
+    # butterflies lower through a Mosaic path interpret mode never
+    # exercises (advisor r4 finding)
+    @jax.jit
+    def zxdiff(spm):
+        a = zx_folded_pallas(spm, +1)
+        re, im = spm[..., 0, :, :, :], spm[..., 1, :, :, :]
+        for ax in (-2, -1):
+            re, im = mmfft.cfft_axis(re, im, ax, +1)
+        b = jnp.stack([re, im], axis=-4)
+        return jnp.abs(a - b).max(), jnp.abs(b).max()
+
+    if use_zx_folded(spm.dtype, n):
+        probe(f"zx_folded_{n}", lambda spm=spm: zxdiff(spm))
+
     g = zx_folded_pallas(spm, +1)
 
     @jax.jit

@@ -134,6 +134,32 @@ def _rev_lanes(x, interp):
     return x
 
 
+def _xpass_mode() -> str:
+    """Orientation of the lane-axis (x) folded pass: ZT_ZX_XPASS.
+
+    "transpose" (default): transpose in VMEM and contract sublanes via
+    _folded_axis0 -- dot dims ((1,),(0,)), the MXU's native orientation.
+    "lane": contract the lane axis directly via _folded_axis1 -- no VMEM
+    transposes, but the ((1,),(1,)) contraction forces an A.B^T MXU
+    orientation that measured ~2x slower per x-pass on a v5e at 512^3
+    (zx 11.9 -> 23.8 ms, runs/ab_xpass_r5.log), which is why transpose
+    is the default.  Read at trace time like the other ZT_* kernel
+    knobs; A/B runs use separate processes.
+    """
+    import os
+
+    return os.environ.get("ZT_ZX_XPASS", "transpose")
+
+
+def _folded_xpass(re, im, Cc, Ss, alt, sg, prec, interp):
+    """The x-axis (lane) folded DFT of an (R, n) pair, orientation gated
+    by ZT_ZX_XPASS (see _xpass_mode)."""
+    if _xpass_mode() == "lane":
+        return _folded_axis1(re, im, Cc, Ss, sg, prec, interp)
+    r, i = _folded_axis0(re.T, im.T, Cc, Ss, alt, sg, prec, interp)
+    return r.T, i.T
+
+
 def _folded_axis1(re, im, Cc, Ss, sg, prec, interp):
     """Complex folded DFT contracting the LAST (lane) axis of (R, n).
 
@@ -144,7 +170,10 @@ def _folded_axis1(re, im, Cc, Ss, sg, prec, interp):
     head/Nyquist columns and the k = h output column are handled
     arithmetically (an (-1)^j lane reduction and an iota-built (-1)^k
     row) instead of the unaligned 1-wide lane concats Mosaic relayouts
-    poorly.  Same math/convention as _folded_axis0.
+    poorly.  Same math/convention as _folded_axis0 -- but NOT the same
+    speed: the lane contraction's A.B^T orientation measured ~2x the
+    transpose form's x-pass time on a v5e (see _xpass_mode), so this
+    form is opt-in.
     """
     n = re.shape[1]
     h = n // 2
@@ -266,8 +295,8 @@ def _zx_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
     Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
     # z axis: contract sublanes directly
     re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp)
-    # x axis: contract lanes directly (no VMEM transposes)
-    re, im = _folded_axis1(re, im, Cc, Ss, sg, prec, interp)
+    # x axis: orientation gated by ZT_ZX_XPASS (transpose default)
+    re, im = _folded_xpass(re, im, Cc, Ss, alt, sg, prec, interp)
     out_ref[0, 0, 0] = re
     out_ref[0, 1, 0] = im
 
@@ -333,11 +362,10 @@ def _z_tile_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
 def _x_tile_kernel(spm_ref, cc_ref, ss_ref, alt_ref, out_ref, *, sg, prec,
                    interp):
     """Folded transform along x (lanes) of one (w, n) sublane stripe."""
-    del alt_ref  # the lane form builds its (-1)^k row from iota
     re = spm_ref[0, 0, 0]
     im = spm_ref[0, 1, 0]
-    r, i = _folded_axis1(
-        re, im, cc_ref[...], ss_ref[...], sg, prec, interp
+    r, i = _folded_xpass(
+        re, im, cc_ref[...], ss_ref[...], alt_ref[...], sg, prec, interp
     )
     out_ref[0, 0, 0], out_ref[0, 1, 0] = r, i
 

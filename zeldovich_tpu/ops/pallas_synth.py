@@ -559,17 +559,20 @@ def _reflect2d(p, interp):
         for ax in (0, 1):
             p = jnp.roll(jnp.flip(p, axis=ax), 1, axis=ax)
         return p
-    from .pallas_fft import _rev_lanes, _rev_rows
+    from .pallas_fft import _rev_lanes, _rev_rows, _xpass_mode
 
     p = pltpu.roll(_rev_rows(p, interp), jnp.int32(1), 0)
-    p = pltpu.roll(_rev_lanes(p, interp), jnp.int32(1), 1)
+    if _xpass_mode() == "lane":
+        p = pltpu.roll(_rev_lanes(p, interp), jnp.int32(1), 1)
+    else:
+        p = pltpu.roll(_rev_rows(p.T, interp).T, jnp.int32(1), 1)
     return p
 
 
 def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
                     *refs, fixed_power, fdt,
                     fund, half, ppd, just_density, qplt, prec, interp):
-    from .pallas_fft import _folded_axis0, _folded_axis1
+    from .pallas_fft import _folded_axis0, _folded_xpass
 
     if qplt:
         cx_ref, cy_ref, cz_ref, f_ref = refs[:4]
@@ -663,7 +666,8 @@ def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
             for pm, (re, im) in enumerate((sp, sm)):
                 re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec,
                                        interp)
-                re, im = _folded_axis1(re, im, Cc, Ss, sg, prec, interp)
+                re, im = _folded_xpass(re, im, Cc, Ss, alt, sg, prec,
+                                       interp)
                 j = (a * 2 + pm) * 2
                 out_ref[j + 0, 0] = re
                 out_ref[j + 1, 0] = im
