@@ -32,6 +32,12 @@ cancels in the chain(K)-chain(1) delta).  Every artifact is stamped with
 the kernel route (fft_algo), matmul precision (fft_precision), and which
 fallback-ladder attempt produced it (bench_attempt).
 
+Regression gate: the default-route TPU run compares its compute rate
+against the best prior BENCH_*.json artifact (incl. the committed
+BENCH_FLOOR.json) for the same (ppd, dtype); >10% below best stamps
+regressed_vs_best=true and, under BENCH_REGRESSION_FAIL=1 (set by the
+scripts/run_r* wrappers), exits 2.
+
 Env knobs: BENCH_PPD (default 512), BENCH_DTYPE (float32|float64|df64,
 default float32 -- the TPU fast path), BENCH_REPS (default 6),
 BENCH_TRIALS (chain-delta repeats, default 3), BENCH_TIMEOUT (seconds
@@ -352,6 +358,44 @@ def _end_to_end(param, step, ppd):
     }
 
 
+def _best_prior(ppd, dtype_name, here=None):
+    """Best prior recorded compute rate for this config, for the
+    regression gate: scans the committed BENCH_r*.json driver artifacts
+    plus BENCH_FLOOR.json (a hand-committed floor for numbers that were
+    measured in runs/ logs but never became a driver artifact).
+
+    Round-4 lesson: a commit 7 minutes before the snapshot regressed the
+    512^3 step 37.6 -> 45.9 ms and nothing flagged it, because every
+    bench run was a point measurement with no memory.  Returns
+    (rate, source) or (None, None).
+    """
+    import glob
+    import re
+
+    best, src = None, None
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_*.json"))):
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if cand.get("unit") not in (None, "Mpart/sec"):
+            continue
+        m = re.search(r"\((\d+)\^3, (\w+)", cand.get("metric", ""))
+        if m:
+            if int(m.group(1)) != ppd or m.group(2) != dtype_name:
+                continue
+        elif not (cand.get("ppd") == ppd and cand.get("dtype") == dtype_name):
+            continue  # BENCH_FLOOR.json carries explicit ppd/dtype keys
+        rate = cand.get("compute_mpart_per_sec", cand.get("value"))
+        if isinstance(rate, (int, float)) and rate > 0:
+            if best is None or rate > best:
+                best, src = float(rate), os.path.basename(path)
+    return best, src
+
+
 def main():
     timeout = int(os.environ.get("BENCH_TIMEOUT", "1500"))
     attempts = [dict(os.environ, BENCH_ATTEMPT="default")]
@@ -466,6 +510,28 @@ def main():
     ):
         if k in result:
             extra[k] = result[k]
+    # ---- regression gate: compare against the best prior artifact ----
+    # Only for the default route on the real device: the xla/cpu fallback
+    # ladders and opt-in knob runs measure something else by design.
+    regressed = False
+    if (
+        result.get("bench_attempt") == "default"
+        and result["platform"] == "tpu"
+    ):
+        best, src = _best_prior(result["ppd"], result["dtype"])
+        if best:
+            ratio = compute_mps / best
+            extra["best_prior_mpart_per_sec"] = round(best, 1)
+            extra["best_prior_source"] = src
+            extra["regressed_vs_best"] = ratio < 0.90
+            regressed = ratio < 0.90
+            if regressed:
+                print(
+                    f"# PERF REGRESSION: {compute_mps:.0f} Mpart/s is "
+                    f"{100 * (1 - ratio):.0f}% below the best prior "
+                    f"{best:.0f} ({src})",
+                    file=sys.stderr,
+                )
     print(
         json.dumps(
             {
@@ -492,6 +558,10 @@ def main():
         ),
         file=sys.stderr,
     )
+    if regressed and os.environ.get("BENCH_REGRESSION_FAIL", "0") != "0":
+        # opt-in hard failure for the scripts/run_r* wrappers; the driver
+        # invocation still records the (flagged) artifact
+        return 2
     return 0
 
 
