@@ -75,8 +75,12 @@ def emulate_plane(
     her = np.zeros((narray, ppd, ppd), dtype=np.complex128)
 
     kmax = int(half * (1.0 / param.k_cutoff) + 0.5)
-    k2_cutoff = param.nyquist**2 / param.k_cutoff**2
+    k2_cutoff = param.nyquist * param.nyquist / (param.k_cutoff * param.k_cutoff)
     fund = param.fundamental
+    # the reference stores fundamental^2 once (zeldovich.cpp:301) and
+    # computes k2 = n2 * fund2: same association order here, so boundary
+    # comparisons (k2 >= k2_cutoff) and kmag are bit-identical
+    fund2 = fund * fund
     H0, c = 100.0, 299792.458
     growth = 1.0 / (1 + param.z_initial)
     if param.qPLTrescale:
@@ -98,7 +102,7 @@ def emulate_plane(
                 nskip += pcg.MAX_PPD - ppd
             kx = x - ppd if x > half else x
             xher = 0 if x == 0 else ppd - x
-            k2 = (kx * kx + ky * ky + kz * kz) * fund * fund
+            k2 = (kx * kx + ky * ky + kz * kz) * fund2
             kmag = math.sqrt(k2)
 
             zeroed = (
@@ -130,15 +134,12 @@ def emulate_plane(
                 k2 = 1.0
             ik2 = 1.0 / k2
 
+            # the reference computes M from the POST-substitution k2 (so
+            # M(origin) uses k2=1.0 and phi(0) = D/M is finite there; the
+            # ky=0 fix-up zeroes the origin afterwards) with this exact
+            # multiplication order (zeldovich.cpp:380-383)
             M = (
-                2.0
-                * growth
-                * c
-                * c
-                * Pk.infer_Tk(kmag)
-                * (kx * kx + ky * ky + kz * kz)
-                * fund
-                * fund
+                2.0 * growth * c * c * Pk.infer_Tk(kmag) * k2
                 / (3.0 * param.Omega_M * H0 * H0)
             )
 
