@@ -262,10 +262,16 @@ def _roofline(ppd, narray, dt):
         folded Pallas kernels (ops/pallas_fft, TPU) do 1*G*N per axis;
       c2r y transform: 4 real [N x (h+1)] matmuls per array = 4*G*N MACs
         unfolded; 2*G*N for the folded Pallas form.
-      HBM: synthesis writes the 8 real planes (32*G bytes); each XLA
-        transform reads+writes them (64*G per axis) where the fused
-        Pallas zx kernel does both axes in one pass (64*G total);
-        c2r reads 32*G, writes 32*G.
+      HBM: synthesis writes the 2*narray pm-packed complex fields as
+        4*narray real planes of (h+1, N, N) = 16*narray*G bytes; each
+        XLA transform reads+writes them (32*narray*G per axis) where the
+        fused Pallas zx kernel does both axes in one pass (32*narray*G
+        total) and the mega route fuses the synthesis write into that
+        same pass; c2r reads 16*narray*G and writes the FULL mirrored
+        y extent -- narray*2*N^3 reals = 8*narray*N^3 bytes (~2x the
+        half-spectrum read; round-4's model undercounted this as another
+        16*narray*G, hiding that the measured c2r was already at ~90% of
+        the bandwidth roofline).
     MACs count as 2 flops.  Matmul operand re-streaming and XLA fusion
     wins are not modeled: this is an analytic estimate, stated as such.
 
@@ -276,17 +282,29 @@ def _roofline(ppd, narray, dt):
     """
     import jax.numpy as jnp
 
+    from zeldovich_tpu.ops.modes_real import mega_route_on
     from zeldovich_tpu.ops.pallas_fft import use_c2r_pallas, use_zx_folded
 
     G = (ppd // 2 + 1) * ppd * ppd
     fields = 2 * narray
     zx_folded = use_zx_folded(jnp.float32, ppd)
     c2r_folded = use_c2r_pallas(jnp.float32, ppd)
+    qplt = os.environ.get("BENCH_PLT") == "1"
+    mega = mega_route_on(jnp.float32, ppd, qplt)
     zx_macs = (1 if zx_folded else 3) * 2 * fields  # 2 axes
     c2r_macs = (2 if c2r_folded else 4) * narray
     flops = (zx_macs + c2r_macs) * G * ppd * 2.0
-    # synthesis write + z/x (one fused pass or two) + c2r read/write
-    hbm_bytes = (32 + (64 if zx_folded else 128) + 64) * G
+    spm = 8 * fields * G  # the pm-packed half-spectrum, bytes
+    pk_in = 4 * G
+    if mega:  # synthesis + both in-plane DFTs fused: ONE spm write
+        synth_zx = pk_in + spm
+    elif zx_folded:  # synth writes spm; fused zx reads + rewrites it
+        synth_zx = pk_in + spm + 2 * spm
+    else:  # XLA matmul transforms: read+write per axis
+        synth_zx = pk_in + spm + 4 * spm
+    # c2r reads the half-spectrum, writes the FULL mirrored y extent
+    c2r_bytes = spm + 8 * narray * ppd**3
+    hbm_bytes = synth_zx + c2r_bytes
     peak_bf16 = float(os.environ.get("BENCH_PEAK_BF16_TFLOPS", "197")) * 1e12
     from zeldovich_tpu.ops.mmfft import precision_name
 
@@ -510,6 +528,23 @@ def main():
     ):
         if k in result:
             extra[k] = result[k]
+    # ---- scaling curve: merge the committed measured sweep (if any) ----
+    # scripts/scaling_curve.py measures 256/512 (non-PLT and PLT, in-core
+    # chain timing) + 1024 (slab-step) and writes runs/scaling_r5.json;
+    # merging it here puts the whole curve in every driver artifact with
+    # provenance, without re-burning ~30 min of remote compiles per bench.
+    try:
+        sc_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "runs", "scaling_r5.json",
+        )
+        with open(sc_path) as f:
+            sc = json.load(f)
+        extra["scaling"] = sc["points"]
+        extra["scaling_note"] = sc.get("note", "")
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+
     # ---- regression gate: compare against the best prior artifact ----
     # Only for the default route on the real device: the xla/cpu fallback
     # ladders and opt-in knob runs measure something else by design.
@@ -517,6 +552,9 @@ def main():
     if (
         result.get("bench_attempt") == "default"
         and result["platform"] == "tpu"
+        # PLT runs measure a different config (narray 4); comparing them
+        # against non-PLT priors of the same ppd would false-flag
+        and os.environ.get("BENCH_PLT") != "1"
     ):
         best, src = _best_prior(result["ppd"], result["dtype"])
         if best:

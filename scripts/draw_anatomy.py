@@ -56,6 +56,10 @@ fdt = jnp.float32
 
 def _chain_body(stage, s, pk):
     """The truncated draw chain for one probe stage -> (re, im)."""
+    if stage == "product":
+        # the REAL product chain (honors ZT_DRAW_FAST): A/B fast-vs-exact
+        # semantics across separate processes
+        return _draw_chain(*s, pk, jnp.float32(1.0), False, fdt)
     if stage == "madd":
         # touch all limbs so nothing DCEs
         v = _u32_to_f(s[0] ^ s[1], fdt) + _u32_to_f(s[2] ^ s[3], fdt)
@@ -92,24 +96,66 @@ def _probe_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
     im_ref[0] = im
 
 
+def _twotab_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3,
+                   n0, n1, n2, n3, d0, d1, d2, d3, pk_ref,
+                   re_ref, im_ref):
+    """Doubled-tables variant (VERDICT r4 #4: 'measure it'): draw-2 state
+    from a SECOND madd against pre-bumped-twice tables instead of an
+    in-register bump.  Same 128-bit product count, 2x the table loads."""
+    from zeldovich_tpu.ops import pcg_device
+
+    y = pl.program_id(0)
+    plane = tuple(plane_ref[y, j] for j in range(4))
+    m = (m0[...], m1[...], m2[...], m3[...])
+    c = (c0[...], c1[...], c2[...], c3[...])
+    m2t = (n0[...], n1[...], n2[...], n3[...])
+    c2t = (d0[...], d1[...], d2[...], d3[...])
+    pb = tuple(jnp.full_like(m[0], p) for p in plane)
+    s1 = _madd128(m, pb, c)
+    s2 = _madd128(m2t, pb, c2t)
+    pk = pk_ref[0]
+    lo, hi = _xsl_rr(*s1)
+    R = pcg_device.fast_uniform_f32(lo, hi)
+    lo, hi = _xsl_rr(*s2)
+    T = pcg_device.fast_uniform_f32(lo, hi)
+    amp = jnp.sqrt(-pk * jnp.log(R))
+    cosv, sinv = pcg_device.sincos_2pi(T, fdt)
+    re_ref[0] = amp * cosv
+    im_ref[0] = amp * sinv
+
+
 @partial(jax.jit, static_argnames=("stage",))
-def probe(planes, mzx, czx, pk, stage):
+def probe(planes, mzx, czx, pk, stage, mzx2=None, czx2=None):
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     tile3 = pl.BlockSpec((1, Z, X), lambda y: (i32(y), i32(0), i32(0)))
     mspec = pl.BlockSpec((Z, X), lambda y: (i32(0), i32(0)))
     pspec = pl.BlockSpec(
         planes.shape, lambda y: (i32(0), i32(0)), memory_space=pltpu.SMEM
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((half, Z, X), jnp.float32),
+        jax.ShapeDtypeStruct((half, Z, X), jnp.float32),
+    )
+    interp = jax.default_backend() == "cpu"
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if stage == "twotab":
+        return pl.pallas_call(
+            _twotab_kernel,
+            out_shape=out_shape,
+            grid=(half,),
+            in_specs=[pspec] + [mspec] * 16 + [tile3],
+            out_specs=(tile3, tile3),
+            compiler_params=params,
+            interpret=interp,
+        )(planes, *mzx, *czx, *mzx2, *czx2, pk)
     return pl.pallas_call(
         partial(_probe_kernel, stage=stage),
-        out_shape=(
-            jax.ShapeDtypeStruct((half, Z, X), jnp.float32),
-            jax.ShapeDtypeStruct((half, Z, X), jnp.float32),
-        ),
+        out_shape=out_shape,
         grid=(half,),
         in_specs=[pspec] + [mspec] * 8 + [tile3],
         out_specs=(tile3, tile3),
-        interpret=jax.default_backend() == "cpu",
+        compiler_params=params,
+        interpret=interp,
     )(planes, *mzx, *czx, pk)
 
 
@@ -135,6 +181,12 @@ planes = jnp.stack(
 rng = np.random.default_rng(3)
 pk = jnp.asarray(rng.uniform(0.5, 2.0, size=(half, Z, X)), jnp.float32)
 
+# doubled tables: one more LCG step folded in -> draw-2 state by a second
+# madd (m2 = MULT*m, c2 = MULT*c + INC, both elementwise over the grid)
+_mc = pcg_device._const_tuple(pcg_device.MULT_LIMBS)
+mzx2 = jax.jit(pcg_device.mul128)(_mc, mzx)
+czx2 = jax.jit(pcg_device.bump)(czx)
+
 
 def bracket(stage):
     from jax import lax
@@ -144,7 +196,10 @@ def bracket(stage):
     @jax.jit
     def chain(pk, k):
         def body(i, carry):
-            re, im = probe(planes, mzx, czx, pk + carry * eps, stage)
+            re, im = probe(
+                planes, mzx, czx, pk + carry * eps, stage,
+                mzx2=mzx2, czx2=czx2,
+            )
             return re[0, 0, 0] + im[0, 0, 0]
 
         return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
@@ -159,9 +214,16 @@ def bracket(stage):
     return max((tk - t1) / REPS, 1e-9)
 
 
-res = {"ppd": PPD, "platform": jax.devices()[0].platform}
+res = {
+    "ppd": PPD,
+    "platform": jax.devices()[0].platform,
+    "draw_fast": os.environ.get("ZT_DRAW_FAST", "1"),
+}
 prev = None
-for stage in ["madd", "xslrr1", "unif1", "bump", "draw2", "full"]:
+stages = os.environ.get(
+    "ANAT_STAGES", "madd,xslrr1,unif1,bump,draw2,full,product,twotab"
+).split(",")
+for stage in stages:
     try:
         t = bracket(stage)
         res[stage + "_ms"] = round(t * 1e3, 2)

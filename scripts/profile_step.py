@@ -149,16 +149,21 @@ res = {"ppd": PPD, "platform": jax.devices()[0].platform}
 stages = ["draws", "synthraw", "synth", "synth_zx", "full"]
 if os.environ.get("PROF_MEGA", "1") != "0":  # the default product route
     stages.append("mega")
+if os.environ.get("PROF_STAGES"):  # restrict (e.g. a c2r-only A/B)
+    stages = os.environ["PROF_STAGES"].split(",")
 for stage in stages:
     try:
         res[stage] = round(bracket(stage), 4)
     except Exception as e:  # one failing stage must not kill the run
         res[stage] = f"FAILED: {type(e).__name__}"
     print(json.dumps(res), flush=True)
-if all(isinstance(res[s], float) for s in stages[:5]):
+if all(isinstance(res.get(s), float)
+       for s in ["draws", "synthraw", "synth", "synth_zx", "full"]):
     res["draws_ms"] = round(res["draws"] * 1e3, 1)
     res["pack_ms"] = round((res["synth"] - res["draws"]) * 1e3, 1)
     res["zx_ms"] = round((res["synth_zx"] - res["synth"]) * 1e3, 1)
     res["c2r_ms"] = round((res["full"] - res["synth_zx"]) * 1e3, 1)
     res["synth_ms"] = round(res["synth"] * 1e3, 1)
+elif all(isinstance(res.get(s), float) for s in ["synth_zx", "full"]):
+    res["c2r_ms"] = round((res["full"] - res["synth_zx"]) * 1e3, 1)
 print(json.dumps(res), flush=True)

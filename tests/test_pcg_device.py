@@ -74,3 +74,57 @@ def test_mode_uniforms_match_host():
         r_host, t_host = pcg.mode_uniforms(seed, y, z, x, ppd)
         assert R[y, z, x] == r_host, (y, z, x)
         assert T[y, z, x] == t_host, (y, z, x)
+
+
+def test_fast_uniform_f32_semantics():
+    """The fast f32 uniform (ZT_DRAW_FAST, the f32-path default): strictly
+    positive, <= 1 + 2^-32, and within ~2^-24 absolute of the exact
+    (x+1)*2^-64 -- the documented approximation budget."""
+    rng = np.random.RandomState(2)
+    r = np.concatenate([
+        rng.randint(0, 2**63, size=5000).astype(np.uint64) * np.uint64(2),
+        np.array([0, 1, 63, 64, 2**32 - 1, 2**32, 2**63,
+                  2**64 - 2, 2**64 - 1], dtype=np.uint64),
+    ])
+    got = np.asarray(pcg_device.fast_uniform_f32_from_u64(jnp.asarray(r)))
+    exact = np.asarray(
+        pcg_device.uniform_from_u64(jnp.asarray(r), jnp.float64)
+    )
+    assert got.min() > 0.0  # log() must never see 0
+    assert got.max() <= 1.0 + 2.0**-31
+    np.testing.assert_allclose(got, exact, atol=2.0**-24)
+    # halves form == u64 form (the kernel uses the halves entry point)
+    lo = jnp.asarray((r & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((r >> np.uint64(32)).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(pcg_device.fast_uniform_f32(lo, hi)), got
+    )
+
+
+def test_sincos_2pi_accuracy_and_fallback():
+    """Fast sincos: few-ulp accuracy on the uniform's range; exact
+    jnp fallback for f64."""
+    T = np.concatenate([
+        np.random.RandomState(3).uniform(2**-30, 1.0, 20000),
+        np.array([2.0**-64, 0.25, 0.5, 0.75, 1.0, 1.0 + 2.0**-32]),
+    ])
+    c, s = pcg_device.sincos_2pi(jnp.asarray(T, jnp.float32), np.float32)
+    np.testing.assert_allclose(np.asarray(c), np.cos(2 * np.pi * T), atol=5e-7)
+    np.testing.assert_allclose(np.asarray(s), np.sin(2 * np.pi * T), atol=5e-7)
+    # unit amplitude to poly accuracy (angles aside): c^2 + s^2 == 1
+    np.testing.assert_allclose(
+        np.asarray(c) ** 2 + np.asarray(s) ** 2, 1.0, atol=1e-6
+    )
+    c64, s64 = pcg_device.sincos_2pi(jnp.asarray(T, jnp.float64), np.float64)
+    np.testing.assert_array_equal(np.asarray(c64), np.cos(2 * np.pi * T))
+    np.testing.assert_array_equal(np.asarray(s64), np.sin(2 * np.pi * T))
+
+
+def test_draw_fast_gate_off_restores_exact_f32(monkeypatch):
+    """ZT_DRAW_FAST=0 routes uniform_from_u64(f32) back to the exact
+    reference rounding."""
+    monkeypatch.setenv("ZT_DRAW_FAST", "0")
+    r = jnp.asarray(np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64))
+    got = np.asarray(pcg_device.uniform_from_u64(r, jnp.float32))
+    want = np.array([pcg.one_rand(int(v)) for v in np.asarray(r)], np.float32)
+    np.testing.assert_array_equal(got, want)

@@ -308,8 +308,8 @@ def _raw_fields(
             amp = jnp.sqrt(Pk)
         else:
             amp = jnp.sqrt(-Pk * jnp.log(R))
-        theta = fdt(2 * np.pi) * T
-        D = jax.lax.complex(amp * jnp.cos(theta), amp * jnp.sin(theta)).astype(cdt)
+        cosv, sinv = pcg_device.sincos_2pi(T, fdt)
+        D = jax.lax.complex(amp * cosv, amp * sinv).astype(cdt)
     if phi_val is not None:
         # f_NL input pass: delta(k) = phi(k) * M(k)  (zeldovich.cpp:393-400)
         D = phi_val * tables.M_n2[n2].astype(fdt)

@@ -240,9 +240,9 @@ def _raw_fields_pair(
         R, T = pcg_device.uniform_pair_from_affine(plane, m, c, dtype=fdt)
         Pk_b = jnp.broadcast_to(Pk, R.shape) if pk_eff is not None else Pk
         amp = jnp.sqrt(Pk_b) if cfg.fixed_power else jnp.sqrt(-Pk_b * jnp.log(R))
-        theta = fdt(2 * np.pi) * T
-        D_re = amp * jnp.cos(theta)
-        D_im = amp * jnp.sin(theta)
+        cosv, sinv = pcg_device.sincos_2pi(T, fdt)
+        D_re = amp * cosv
+        D_im = amp * sinv
 
     zf = jnp.where(zero, fdt(0), fdt(1))
     D_re = D_re * zf

@@ -603,36 +603,32 @@ def _assert_mosaic_blocks(*specs_arrays):
             raise ValueError(f"Mosaic-illegal sublane block {bs} for {ars}")
 
 
-def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
-                interp):
-    """Folded c2r y-transform of a zb-thick (z, x) stripe, mirror in VMEM.
+def _c2r_form() -> str:
+    """Lane layout of the c2r kernel's dots: ZT_C2R_FORM.
 
-    Same math as mmfft._c2r_y_pair_folded (whose XLA form loses its MAC
-    saving to fold/unfold HBM passes): compute output rows y in [0, h]
-    with half-length matmuls, mirror rows y > h in VMEM.  The zb z-planes
-    and the D/F stripes are lane-concatenated into ONE double-wide dot
-    per matrix (identical per-column results, longer weight-stationary
-    MXU runs); zb >= 8 keeps the block's sublane dim Mosaic-legal.
+    "concat" (default): lane-concatenate the zb z-planes x D/F stripes
+    into ONE (hp1, zb*2*X) operand per matrix -- 2 dots per program, but
+    ~2*hp1*W elements of VMEM concat copies in and 2*zb slice-copies out.
+    "perz": one (hp1, 2*X) operand per z-plane -- 2*zb smaller dots, no
+    wide concats, direct static-slice output writes.  Candidate for the
+    measured VPU overhead between the c2r stage (~8.7 ms at 512^3) and
+    its max(HBM, MXU) floor (~5.3 ms).
     """
-    Cm, Sm, alt = cm_ref[...], sm_ref[...], alt_ref[...]
-    h = spm_ref.shape[3] - 1
-    X = spm_ref.shape[5]
-    cols_a, cols_b = [], []
-    for zi in range(zb):
-        spr = spm_ref[0, 0, 0, :, zi]
-        spi = spm_ref[0, 0, 1, :, zi]
-        smr = spm_ref[0, 1, 0, :, zi]
-        smi = spm_ref[0, 1, 1, :, zi]
-        cols_a += [spr + smr, spi - smi]  # twoDr, twoFr
-        cols_b += [spi + smi, smr - spr]  # twoDi, twoFi
-    a = jnp.concatenate(cols_a, axis=1)
-    b = jnp.concatenate(cols_b, axis=1)
-    dot = partial(_kdot, prec=prec)
+    import os
+
+    return os.environ.get("ZT_C2R_FORM", "concat")
+
+
+def _c2r_math(a, b, Cm, Sm, alt, h, dot, interp):
+    """P/Q/mirror of one lane-group: a, b are (h+1, W) folded operands.
+
+    Same M-axis trick as _folded_axis0: Cm[h, k] = cos(pi k) = (-1)^k
+    and Sm[h, :] = 0, so the dots run with exactly h output rows (no
+    128-row padding waste) and row h is a VPU alternating reduction
+    over k = 1..h-1 (iota row i == k-1, so the sign is -(-1)^i).
+    Returns the full (n, W) output rows.
+    """
     halfc = jnp.float32(0.5)
-    # same M-axis trick as _folded_axis0: Cm[h, k] = cos(pi k) = (-1)^k
-    # and Sm[h, :] = 0, so the dots run with exactly h output rows (no
-    # 128-row padding waste) and row h is a VPU alternating reduction
-    # over k = 1..h-1 (iota row i == k-1, so the sign is -(-1)^i)
     am, bm = a[1:h], b[1:h]
     sgnk = (
         2 * (lax.broadcasted_iota(jnp.int32, (h - 1, 1), 0) & 1) - 1
@@ -648,7 +644,48 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
     )
     top = P + Q  # y = 0..h
     T = P - Q  # out[y > h] = T[n - y] = T[h-1-q] at q = y-h-1
-    full = jnp.concatenate([top, _rev_rows(T[:h], interp)[: h - 1]], axis=0)
+    return jnp.concatenate([top, _rev_rows(T[:h], interp)[: h - 1]], axis=0)
+
+
+def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
+                interp):
+    """Folded c2r y-transform of a zb-thick (z, x) stripe, mirror in VMEM.
+
+    Same math as mmfft._c2r_y_pair_folded (whose XLA form loses its MAC
+    saving to fold/unfold HBM passes): compute output rows y in [0, h]
+    with half-length matmuls, mirror rows y > h in VMEM.  Lane grouping
+    of the dots per _c2r_form; zb >= 8 keeps the block's sublane dim
+    Mosaic-legal.
+    """
+    Cm, Sm, alt = cm_ref[...], sm_ref[...], alt_ref[...]
+    h = spm_ref.shape[3] - 1
+    X = spm_ref.shape[5]
+    dot = partial(_kdot, prec=prec)
+
+    if _c2r_form() == "perz":
+        for zi in range(zb):
+            spr = spm_ref[0, 0, 0, :, zi]
+            spi = spm_ref[0, 0, 1, :, zi]
+            smr = spm_ref[0, 1, 0, :, zi]
+            smi = spm_ref[0, 1, 1, :, zi]
+            a = jnp.concatenate([spr + smr, spi - smi], axis=1)
+            b = jnp.concatenate([spi + smi, smr - spr], axis=1)
+            full = _c2r_math(a, b, Cm, Sm, alt, h, dot, interp)
+            out_ref[0, 0, :, zi] = full[:, :X]
+            out_ref[0, 1, :, zi] = full[:, X:]
+        return
+
+    cols_a, cols_b = [], []
+    for zi in range(zb):
+        spr = spm_ref[0, 0, 0, :, zi]
+        spi = spm_ref[0, 0, 1, :, zi]
+        smr = spm_ref[0, 1, 0, :, zi]
+        smi = spm_ref[0, 1, 1, :, zi]
+        cols_a += [spr + smr, spi - smi]  # twoDr, twoFr
+        cols_b += [spi + smi, smr - spr]  # twoDi, twoFi
+    a = jnp.concatenate(cols_a, axis=1)
+    b = jnp.concatenate(cols_b, axis=1)
+    full = _c2r_math(a, b, Cm, Sm, alt, h, dot, interp)
     for zi in range(zb):
         out_ref[0, 0, :, zi] = full[:, (2 * zi) * X:(2 * zi + 1) * X]
         out_ref[0, 1, :, zi] = full[:, (2 * zi + 1) * X:(2 * zi + 2) * X]

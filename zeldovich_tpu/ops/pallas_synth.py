@@ -198,20 +198,30 @@ def _draw_chain(s0, s1, s2, s3, pk, live, fixed_power, fdt):
 
     The input state IS the first draw's state (the jump tables are
     pre-bumped, pcg.prebump_axis_tables), so only the second draw costs
-    a bump here.
+    a bump here.  The f32 path uses the fast draw semantics
+    (pcg_device.fast_uniform_f32 / sincos_2pi, ZT_DRAW_FAST) shared with
+    the XLA routes, so kernel-vs-XLA f32 outputs stay bit-identical.
     """
+    from . import pcg_device
+
+    fast = fdt == np.float32 and pcg_device.draw_fast()
+    unif = (
+        (lambda lo, hi: pcg_device.fast_uniform_f32(lo, hi))
+        if fast
+        else (lambda lo, hi: _uniform(lo, hi, fdt))
+    )
     lo, hi = _xsl_rr(s0, s1, s2, s3)
-    R = _uniform(lo, hi, fdt)
+    R = unif(lo, hi)
     s0, s1, s2, s3 = _bump(s0, s1, s2, s3)
     lo, hi = _xsl_rr(s0, s1, s2, s3)
-    T = _uniform(lo, hi, fdt)
+    T = unif(lo, hi)
 
     if fixed_power:
         amp = jnp.sqrt(pk)
     else:
         amp = jnp.sqrt(-pk * jnp.log(R))
-    theta = fdt(2 * np.pi) * T
-    return live * amp * jnp.cos(theta), live * amp * jnp.sin(theta)
+    cosv, sinv = pcg_device.sincos_2pi(T, fdt)
+    return live * amp * cosv, live * amp * sinv
 
 
 def _kernel(s0_ref, s1_ref, s2_ref, s3_ref, pk_ref, live_ref, re_ref, im_ref,

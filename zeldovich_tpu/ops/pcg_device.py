@@ -178,11 +178,102 @@ def uniform_from_u64(r, dtype=jnp.float64):
     addition is correctly rounded -- giving round-to-nearest(r+1) on any
     backend.
     """
+    if dtype == jnp.float32 and draw_fast():
+        return fast_uniform_f32_from_u64(r)
     r1 = r + np.uint64(1)  # wraps to 0 exactly when r == 2^64-1
     hi = (r1 >> np.uint64(32)).astype(_U32)
     lo = (r1 & np.uint64(0xFFFFFFFF)).astype(_U32)
     v = (hi.astype(dtype) * dtype(2.0**32) + lo.astype(dtype)) * dtype(2.0**-64)
     return jnp.where(r == np.uint64(0xFFFFFFFFFFFFFFFF), dtype(1.0), v)
+
+
+# ---------------------------------------------------------------------------
+# Fast f32 draw semantics (ZT_DRAW_FAST): the headline f32 path's uniform
+# conversion and Box-Muller trig, redefined for VPU op count.  The f64 and
+# split-f32 (df64) paths keep the reference-exact semantics; this is the
+# documented approximation budget of the fast path:
+#   uniform: |v - (x+1)*2^-64| <= ~2^-25 absolute (one rounded i32->f32
+#            convert per half instead of two exact 16-bit converts each);
+#            range (0, 1 + 2^-32], strictly positive.
+#   sincos:  minimax polynomials on the quadrant-reduced argument,
+#            max abs error 4.7e-8 (cos) / 3.4e-9 (sin) -- below 1 f32 ulp
+#            of unit amplitude, vs jnp.cos/sin's generic range reduction.
+# The kernel (ops/pallas_synth) and the XLA paths (ops/modes*.py) share
+# THESE functions, so kernel-vs-XLA f32 outputs stay bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def draw_fast() -> bool:
+    """Trace-time gate for the fast f32 draw semantics (default ON)."""
+    import os
+
+    return os.environ.get("ZT_DRAW_FAST", "1") != "0"
+
+
+def _i32f(v):
+    """u32 array -> f32 of (v - 2^31), one convert (Mosaic-legal)."""
+    import jax.lax as lax
+
+    return lax.bitcast_convert_type(
+        v ^ _U32(0x80000000), jnp.int32
+    ).astype(jnp.float32)
+
+
+def fast_uniform_f32(lo, hi):
+    """(hi:lo) u32 halves -> ~(x+1)*2^-64 in (0, 1 + 2^-32], f32.
+
+    v = fl(fl((hi-2^31)*2^-32 + 0.5) + fl((lo-2^31)*2^-64 + C2)) with
+    C2 = 2^-33 * (1 + 2^-23): the +2^-56 overshoot keeps v strictly
+    positive even at hi == lo == 0 (log never sees 0), below f32
+    resolution everywhere else.  11 VPU ops vs ~27 for the exact form.
+    """
+    F = jnp.float32
+    a = _i32f(hi) * F(2.0**-32) + F(0.5)
+    b = _i32f(lo) * F(2.0**-64) + F(2.0**-33 * (1.0 + 2.0**-23))
+    return a + b
+
+
+def fast_uniform_f32_from_u64(r):
+    """XLA twin of fast_uniform_f32 (identical float ops, so identical
+    bits) taking the packed u64 draw."""
+    hi = (r >> np.uint64(32)).astype(_U32)
+    lo = (r & _LO32).astype(_U32)
+    return fast_uniform_f32(lo, hi)
+
+
+# minimax fits of cos(2 pi r) and sin(2 pi r)/r on r in [-1/4, 1/4]
+# (even polynomials in u = r^2; Chebyshev-node lstsq, scripts history):
+# max abs errors 4.7e-8 and 3.4e-9
+_COS2PI = (0.9999999532476083, -19.739171322478587, 64.93458164580112,
+           -85.24010035715638, 56.240540440829314)
+_SIN2PI = (6.283185159611168, -41.34165492934352, 81.6009981926163,
+           -76.54965682070578, 39.535813712149924)
+
+
+def sincos_2pi(T, fdt):
+    """(cos(2 pi T), sin(2 pi T)) -- fast f32 form when enabled.
+
+    Fast form: quadrant-reduce with T's known O(1) range (two rounds)
+    instead of the lowering's generic large-argument reduction, then one
+    degree-8/9 polynomial pair.  Falls back to jnp.cos/sin for f64 or
+    when ZT_DRAW_FAST=0.
+    """
+    theta = lambda: fdt(2 * np.pi) * T
+    if fdt != np.float32 or not draw_fast():
+        return jnp.cos(theta()), jnp.sin(theta())
+    F = jnp.float32
+    t = T - jnp.round(T)              # [-1/2, 1/2]
+    q = jnp.round(t + t)              # {-1, 0, 1}
+    r = t - q * F(0.5)                # [-1/4, 1/4]
+    u = r * r
+    c = F(_COS2PI[4])
+    s = F(_SIN2PI[4])
+    for k in (3, 2, 1, 0):
+        c = c * u + F(_COS2PI[k])
+        s = s * u + F(_SIN2PI[k])
+    s = s * r
+    sign = F(1.0) - (jnp.abs(q) + jnp.abs(q))  # +1 for q==0, -1 for |q|==1
+    return sign * c, sign * s
 
 
 def split_uniform_f32(r):
