@@ -394,3 +394,39 @@ def test_plt_mega_forward_route(monkeypatch):
     finally:
         pl_mod._half_pair_forward.clear_cache()
     np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
+def test_madd16_gate_bit_exact(monkeypatch):
+    """ZT_MADD16 (16-bit-column madd/bump form) is bit-exact: raw
+    _madd128 A/B over random limb tuples, and the full f64 draw kernel
+    produces identical bytes under the gate."""
+    from zeldovich_tpu.ops import pallas_synth
+
+    rng = np.random.RandomState(11)
+    mk = lambda: tuple(
+        jnp.asarray(rng.randint(0, 2**32, size=(5, 7), dtype=np.uint64)
+                    .astype(np.uint32))
+        for _ in range(4)
+    )
+    m, s, c = mk(), mk(), mk()
+    base = pallas_synth._madd128(m, s, c)
+    cols = pallas_synth._madd128_cols16(m, s, c)
+    for a, b in zip(base, cols):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # edge limbs: all-ones everywhere (max carries)
+    ones = tuple(jnp.full((3,), 0xFFFFFFFF, jnp.uint32) for _ in range(4))
+    for a, b in zip(
+        pallas_synth._madd128(ones, ones, ones),
+        pallas_synth._madd128_cols16(ones, ones, ones),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ppd = 16
+    state = states_for(12346, ppd)
+    pk = jnp.ones((ppd // 2, ppd, ppd), jnp.float64)
+    live = jnp.ones((ppd // 2, ppd, ppd), jnp.float64)
+    base_re, base_im = boxmuller_pallas(state, pk, live, interpret=True)
+    monkeypatch.setenv("ZT_MADD16", "1")
+    got_re, got_im = boxmuller_pallas(state, pk, live, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_re), np.asarray(base_re))
+    np.testing.assert_array_equal(np.asarray(got_im), np.asarray(base_im))

@@ -128,3 +128,33 @@ def test_draw_fast_gate_off_restores_exact_f32(monkeypatch):
     got = np.asarray(pcg_device.uniform_from_u64(r, jnp.float32))
     want = np.array([pcg.one_rand(int(v)) for v in np.asarray(r)], np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_mul128_u16_form_bit_exact(monkeypatch):
+    """The u16-limb mul128 (ZT_MADD16) is bit-exact with the u64 form,
+    including the all-ones / zero / constant edges, and the full draw
+    chain routes through it unchanged."""
+    rng = np.random.RandomState(7)
+    av, a = rand128(rng, (33,))
+    bv, b = rand128(rng, (33,))
+    edge_vals = [0, 1, pcg.MASK128, pcg.PCG64_MULT, pcg.PCG64_INC,
+                 (1 << 64) - 1, 1 << 64, (1 << 127) | 1]
+    ev = np.stack([pcg.to_limbs32(v) for v in edge_vals]).reshape(-1, 4)
+    e = pcg_device.unpack(jnp.asarray(ev))
+    got = np.asarray(pcg_device.pack(pcg_device._mul128_u16(a, b)))
+    for i in range(33):
+        assert pcg.from_limbs32(got[i]) == (av[i] * bv[i]) & pcg.MASK128
+    ge = np.asarray(pcg_device.pack(pcg_device._mul128_u16(e, e)))
+    for i, v in enumerate(edge_vals):
+        assert pcg.from_limbs32(ge[i]) == (v * v) & pcg.MASK128
+    # full-chain: uniforms identical under the gate
+    sv, s = rand128(rng, (16,))
+    mv, m = rand128(rng, (16,))
+    cv, c = rand128(rng, (16,))
+    base = [np.asarray(x) for x in
+            pcg_device.uniform_pair_from_affine(s, m, c, jnp.float64)]
+    monkeypatch.setenv("ZT_MADD16", "1")
+    gated = [np.asarray(x) for x in
+             pcg_device.uniform_pair_from_affine(s, m, c, jnp.float64)]
+    np.testing.assert_array_equal(base[0], gated[0])
+    np.testing.assert_array_equal(base[1], gated[1])

@@ -89,6 +89,11 @@ def _addc(a, b, cin):
 
 def _bump(s0, s1, s2, s3):
     """One pcg64 LCG step (s*MULT + INC mod 2^128) in u32 limbs."""
+    if _madd16_on():
+        return _madd128_cols16(
+            tuple(int(m) for m in _MULT), (s0, s1, s2, s3),
+            tuple(int(i) for i in _INC),
+        )
     m0, m1, m2, m3 = (_U32(m) for m in _MULT)
     i0, i1, i2, i3 = (_U32(i) for i in _INC)
 
@@ -161,8 +166,60 @@ def _uniform(lo, hi, fdt):
     return jnp.where(allones, fdt(1.0), v)
 
 
+def _madd16_on() -> bool:
+    """Trace-time gate for the 16-bit-column madd form (ZT_MADD16)."""
+    import os
+
+    return os.environ.get("ZT_MADD16", "0") != "0"
+
+
+def _u16_pieces(t):
+    """u32 limb 4-tuple -> 8 base-2^16 pieces (u32-held); ints stay ints."""
+    out = []
+    for limb in t:
+        if isinstance(limb, int):
+            out += [_U32(limb & 0xFFFF), _U32(limb >> 16)]
+        else:
+            out += [limb & _U32(0xFFFF), limb >> _U32(16)]
+    return out
+
+
+def _madd128_cols16(m, s, c):
+    """(m*s + c) mod 2^128 in 16-bit column form (ZT_MADD16).
+
+    Every 16x16 product is exact in ONE u32 multiply; product halves and
+    the addend's pieces are binned per 16-bit output column (at most 17
+    summands < 2^16, so bins stay < 2^21 and need no compare-based
+    carries anywhere), then a single carry sweep re-packs the eight
+    columns into four u32 limbs.  36 multiplies and zero selects vs the
+    u32 form's 50 (each _mul32_hi is 4) and ~20 compare/selects.
+    Bit-exact with _madd128 (tests/test_modes.py gate A/B).
+    """
+    M16, S16 = _U32(0xFFFF), _U32(16)
+    A, B, C = _u16_pieces(m), _u16_pieces(s), _u16_pieces(c)
+    cols = [[C[k]] for k in range(8)]
+    for i in range(8):
+        for j in range(8 - i):
+            k = i + j
+            p = A[j] * B[i]
+            cols[k].append(p & M16)
+            if k < 7:  # column 7's high half falls off the top (mod 2^128)
+                cols[k + 1].append(p >> S16)
+    carry = None
+    digs = []
+    for k in range(8):
+        t = sum(cols[k][1:], cols[k][0])
+        if carry is not None:
+            t = t + carry
+        digs.append(t & M16)
+        carry = t >> S16
+    return tuple(digs[2 * w] | (digs[2 * w + 1] << S16) for w in range(4))
+
+
 def _madd128(m, s, c):
     """(m * s + c) mod 2^128 over u32 limb 4-tuples (elementwise)."""
+    if _madd16_on():
+        return _madd128_cols16(m, s, c)
     prods = {}
     for i in range(4):
         for j in range(4 - i):

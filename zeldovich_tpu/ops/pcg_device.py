@@ -66,7 +66,75 @@ def _limbs64(a):
     return tuple(x.astype(_U64) for x in a)
 
 
+def madd16_on() -> bool:
+    """Trace-time gate for the u16-limb mul128 form (ZT_MADD16)."""
+    import os
+
+    return os.environ.get("ZT_MADD16", "0") != "0"
+
+
+def _mul128_u16(a, b):
+    """Low 128 bits of a*b via 16-bit limb schoolbook -- all-u32 arithmetic.
+
+    The u64-limb form below leans on XLA's emulated u64 multiply, which
+    on TPU expands each 32x32->64 partial product into a full 64x64
+    emulation (the compiler cannot see that the high words are zero).
+    Here the 128-bit operands are split into eight 16-bit pieces held in
+    u32 lanes; every product of two pieces is < 2^32 (exact in one u32
+    multiply), product halves are binned per 16-bit output column (at
+    most 15 summands of < 2^16 each, so column sums stay < 2^20 in u32),
+    and one carry sweep re-packs the eight columns into four u32 limbs.
+    ~36 hardware multiplies instead of the emulation's ~10 u64 ones.
+    Bit-exact with _mul128_u64 (tests/test_pcg_device.py).
+    """
+    M16 = _U32(0xFFFF)
+    S16 = _U32(16)
+
+    def pieces(t):
+        out = []
+        for limb in t:
+            out.append(limb & M16)
+            out.append(limb >> S16)
+        return out  # little-endian base-2^16 limbs, len 8
+
+    A, B = pieces(a), pieces(b)
+    # bin product halves per output column k (mod 2^128 keeps k = 0..7)
+    cols = [[] for _ in range(8)]
+    for i in range(8):
+        for j in range(8 - i):
+            k = i + j
+            p = A[i] * B[j]
+            if k < 7:
+                cols[k].append(p & M16)
+                cols[k + 1].append(p >> S16)
+            else:  # the high half of column 7 falls off the top
+                cols[k].append(p & M16)
+    # one carry sweep, then re-pack pairs of 16-bit columns into u32 limbs
+    carry = None
+    digs = []
+    for k in range(8):
+        t = sum(cols[k][1:], cols[k][0])
+        if carry is not None:
+            t = t + carry
+        digs.append(t & M16)
+        carry = t >> S16
+    return tuple(
+        digs[2 * w] | (digs[2 * w + 1] << S16) for w in range(4)
+    )
+
+
 def mul128(a, b):
+    """Low 128 bits of a*b over limb-plane tuples.
+
+    Dispatches to the u16-limb form when ZT_MADD16 is set; default is the
+    u64-emulation schoolbook below.  Both are bit-exact.
+    """
+    if madd16_on():
+        return _mul128_u16(a, b)
+    return _mul128_u64(a, b)
+
+
+def _mul128_u64(a, b):
     """Low 128 bits of a*b over limb-plane tuples.
 
     Schoolbook multiply over 32-bit limbs; each 32x32 partial product is an
