@@ -430,3 +430,42 @@ def test_madd16_gate_bit_exact(monkeypatch):
     got_re, got_im = boxmuller_pallas(state, pk, live, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_re), np.asarray(base_re))
     np.testing.assert_array_equal(np.asarray(got_im), np.asarray(base_im))
+
+
+@pytest.mark.parametrize("flavor", ["plain", "plt", "density"])
+def test_mega_pipe_matches_serial(monkeypatch, flavor):
+    """ZT_MEGA_PIPE (software-pipelined mega kernel: draw row i, dot row
+    i-1 from VMEM scratch) == the serial mega kernel, bit-identically
+    (same per-row expressions, one extra grid step)."""
+    from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
+
+    if flavor == "plt":
+        model = _plt_model(ppd=16)
+        coefs = model.plt_coefs
+    else:
+        over = {"ZD_qdensity": 2} if flavor == "density" else {}
+        model = _model(ppd=16, **over)
+        coefs = None
+    cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+
+    def run():
+        # the knob is read at trace time: retrace on every call
+        halfspace_pack_zx_pallas.clear_cache()
+        return np.asarray(
+            halfspace_pack_zx_pallas(
+                cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
+                fixed_power=cfg.fixed_power,
+                just_density=cfg.just_density,
+                interpret=True, plt_coefs=coefs,
+            )
+        )
+
+    monkeypatch.delenv("ZT_MEGA_PIPE", raising=False)
+    want = run()
+    monkeypatch.setenv("ZT_MEGA_PIPE", "1")
+    try:
+        got = run()
+    finally:
+        monkeypatch.delenv("ZT_MEGA_PIPE", raising=False)
+        halfspace_pack_zx_pallas.clear_cache()
+    np.testing.assert_array_equal(got, want)

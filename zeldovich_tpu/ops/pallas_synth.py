@@ -636,11 +636,107 @@ def _reflect2d(p, interp):
     return p
 
 
+def _row_draws(plane_ref, m, c, pk, yd, fixed_power, fdt):
+    """Draw chain for one grid row: affine jump + two draws + Box-Muller."""
+    plane = tuple(plane_ref[yd, j] for j in range(4))
+    s = _madd128(m, tuple(jnp.full_like(m[0], p) for p in plane), c)
+    return _draw_chain(*s, pk, fdt(1.0), fixed_power, fdt)
+
+
+def _row_pack(D_re, D_im, y, coefs, *, fund, half, ppd, just_density,
+              qplt, fdt):
+    """Packing for one row: deviates -> list of (sp, sm) plane pairs.
+
+    `coefs` is (cx, cy, cz, f) pre-gathered PLT planes when qplt, else
+    None (the displacement coefficients are computed from the row index).
+    """
+    shape = D_re.shape  # (Z, X)
+    zg = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kz = jnp.where(zg > half, zg - ppd, zg)
+    kx = jnp.where(xg > half, xg - ppd, xg)
+    ky = y
+
+    def packings(Dp, Fp):
+        # _pack_pm's expressions, verbatim
+        return (
+            (Dp[0] - Fp[1], Dp[1] + Fp[0]),  # sp = D + iF
+            (Dp[0] + Fp[1], Dp[1] - Fp[0]),  # sm = D - iF
+        )
+
+    if just_density:
+        zero = jnp.zeros(shape, fdt)
+        return [packings((D_re, D_im), (zero, zero))]
+    if qplt:
+        # pre-gathered coefficients (modes_real.plt_coef_fields)
+        cx, cy, cz, fg = coefs
+    else:
+        # _finish_fields' expressions (rescale = f = 1)
+        n2 = kx * kx + ky * ky + kz * kz
+        k2 = n2.astype(fdt) * fdt(fund) ** 2
+        ik2 = jnp.where(
+            n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
+        )
+        scale = fdt(1.0) * fdt(fund) * ik2
+        cx = kx.astype(fdt) * scale
+        cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
+        cz = kz.astype(fdt) * scale
+    F = (-cx * D_im, cx * D_re)
+    G = (-cy * D_im, cy * D_re)
+    H = (-cz * D_im, cz * D_re)
+    arrays = [
+        packings((D_re, D_im), F),   # A = D + iF
+        packings(G, H),              # B = G + iH
+    ]
+    if qplt:
+        zero = jnp.zeros(shape, fdt)
+        Ff = (F[0] * fg, F[1] * fg)
+        Gf = (G[0] * fg, G[1] * fg)
+        Hf = (H[0] * fg, H[1] * fg)
+        arrays += [
+            packings((zero, zero), Ff),  # A2 = 0 + i f F
+            packings(Gf, Hf),            # B2 = f G + i f H
+        ]
+    return arrays
+
+
+def _row_fix(arrays, half, fdt, interp):
+    """_fix_ky0_packed's expressions on the resident ky=0 plane."""
+    shape = arrays[0][0][0].shape
+    zg = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    fixm = (zg > half) | ((zg == 0) & (xg > half))
+    orig = (zg == 0) & (xg == 0)
+    zero = jnp.zeros((), fdt)
+
+    def fixed0(a, o):
+        p_re = jnp.where(fixm, _reflect2d(o[0], interp), a[0])
+        p_im = jnp.where(fixm, -_reflect2d(o[1], interp), a[1])
+        return (
+            jnp.where(orig, zero, p_re),
+            jnp.where(orig, zero, p_im),
+        )
+
+    return [(fixed0(sp, sm), fixed0(sm, sp)) for sp, sm in arrays]
+
+
+def _row_dots(arrays, Cc, Ss, alt, out_ref, *, fdt, prec, interp):
+    """Folded in-plane (z, x) DFTs of every packed pair -> out planes."""
+    from .pallas_fft import _folded_axis0, _folded_xpass
+
+    sg = fdt(1.0)  # inverse (FFTW +1) convention
+    for a, (sp, sm) in enumerate(arrays):
+        for pm, (re, im) in enumerate((sp, sm)):
+            re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp)
+            re, im = _folded_xpass(re, im, Cc, Ss, alt, sg, prec, interp)
+            j = (a * 2 + pm) * 2
+            out_ref[j + 0, 0] = re
+            out_ref[j + 1, 0] = im
+
+
 def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
                     *refs, fixed_power, fdt,
                     fund, half, ppd, just_density, qplt, prec, interp):
-    from .pallas_fft import _folded_axis0, _folded_xpass
-
     if qplt:
         cx_ref, cy_ref, cz_ref, f_ref = refs[:4]
         refs = refs[4:]
@@ -655,89 +751,19 @@ def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
     def body(do_fix):
         m = (m0[...], m1[...], m2[...], m3[...])
         c = (c0[...], c1[...], c2[...], c3[...])
-        plane = tuple(plane_ref[y, j] for j in range(4))
-        s = _madd128(m, tuple(jnp.full_like(m[0], p) for p in plane), c)
-        D_re, D_im = _draw_chain(*s, pk_ref[0], fdt(1.0), fixed_power, fdt)
-
-        shape = D_re.shape  # (Z, X)
-        zg = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        xg = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        kz = jnp.where(zg > half, zg - ppd, zg)
-        kx = jnp.where(xg > half, xg - ppd, xg)
-        ky = y
-
-        def packings(Dp, Fp):
-            # _pack_pm's expressions, verbatim
-            return (
-                (Dp[0] - Fp[1], Dp[1] + Fp[0]),  # sp = D + iF
-                (Dp[0] + Fp[1], Dp[1] - Fp[0]),  # sm = D - iF
-            )
-
-        if just_density:
-            zero = jnp.zeros(shape, fdt)
-            arrays = [packings((D_re, D_im), (zero, zero))]
-        else:
-            if qplt:
-                # pre-gathered coefficients (modes_real.plt_coef_fields)
-                cx, cy, cz = cx_ref[0], cy_ref[0], cz_ref[0]
-            else:
-                # _finish_fields' expressions (rescale = f = 1)
-                n2 = kx * kx + ky * ky + kz * kz
-                k2 = n2.astype(fdt) * fdt(fund) ** 2
-                ik2 = jnp.where(
-                    n2 == 0, fdt(0), 1.0 / jnp.where(n2 == 0, fdt(1), k2)
-                )
-                scale = fdt(1.0) * fdt(fund) * ik2
-                cx = kx.astype(fdt) * scale
-                cy = jnp.asarray(ky, jnp.int32).astype(fdt) * scale
-                cz = kz.astype(fdt) * scale
-            F = (-cx * D_im, cx * D_re)
-            G = (-cy * D_im, cy * D_re)
-            H = (-cz * D_im, cz * D_re)
-            arrays = [
-                packings((D_re, D_im), F),   # A = D + iF
-                packings(G, H),              # B = G + iH
-            ]
-            if qplt:
-                fg = f_ref[0]
-                zero = jnp.zeros(shape, fdt)
-                Ff = (F[0] * fg, F[1] * fg)
-                Gf = (G[0] * fg, G[1] * fg)
-                Hf = (H[0] * fg, H[1] * fg)
-                arrays += [
-                    packings((zero, zero), Ff),  # A2 = 0 + i f F
-                    packings(Gf, Hf),            # B2 = f G + i f H
-                ]
-
+        D_re, D_im = _row_draws(plane_ref, m, c, pk_ref[0], y,
+                                fixed_power, fdt)
+        coefs = (
+            (cx_ref[0], cy_ref[0], cz_ref[0], f_ref[0]) if qplt else None
+        )
+        arrays = _row_pack(D_re, D_im, y, coefs, fund=fund, half=half,
+                           ppd=ppd, just_density=just_density, qplt=qplt,
+                           fdt=fdt)
         if do_fix:
-            # _fix_ky0_packed's expressions on the resident ky=0 plane
-            fixm = (zg > half) | ((zg == 0) & (xg > half))
-            orig = (zg == 0) & (xg == 0)
-            zero = jnp.zeros((), fdt)
-
-            def fixed0(a, o):
-                p_re = jnp.where(fixm, _reflect2d(o[0], interp), a[0])
-                p_im = jnp.where(fixm, -_reflect2d(o[1], interp), a[1])
-                return (
-                    jnp.where(orig, zero, p_re),
-                    jnp.where(orig, zero, p_im),
-                )
-
-            arrays = [
-                (fixed0(sp, sm), fixed0(sm, sp)) for sp, sm in arrays
-            ]
-
+            arrays = _row_fix(arrays, half, fdt, interp)
         Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
-        sg = fdt(1.0)  # inverse (FFTW +1) convention
-        for a, (sp, sm) in enumerate(arrays):
-            for pm, (re, im) in enumerate((sp, sm)):
-                re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec,
-                                       interp)
-                re, im = _folded_xpass(re, im, Cc, Ss, alt, sg, prec,
-                                       interp)
-                j = (a * 2 + pm) * 2
-                out_ref[j + 0, 0] = re
-                out_ref[j + 1, 0] = im
+        _row_dots(arrays, Cc, Ss, alt, out_ref, fdt=fdt, prec=prec,
+                  interp=interp)
 
     @pl.when(y == 0)
     def _():
@@ -746,6 +772,95 @@ def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
     @pl.when((y > 0) & (y < half))
     def _():
         body(do_fix=False)
+
+
+def _pack_zx_pipe_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
+                         *refs, fixed_power, fdt,
+                         fund, half, ppd, just_density, qplt, prec, interp):
+    """Software-pipelined mega kernel: draw row i, dot row i - 1.
+
+    The serial form pays ~12 ms of VPU draw-chain work plus ~12 ms of
+    MXU folded-DFT work per 512^3 step back-to-back, because the dots
+    consume the draws of the SAME grid row.  Staging the deviates
+    through a VMEM ping/pong pair decouples them: at grid step i the
+    body draws row i (VPU) and dots row i-1 from the opposite buffer
+    (MXU) -- two statically independent instruction streams the
+    scheduler may interleave.  Parity: identical math per row, one extra
+    grid step; gated by ZT_MEGA_PIPE (measured A/B in runs/).
+
+    Edges: step 0 dots an uninitialized buffer into out row 0, which is
+    rewritten at step 1 (same out block, flushed only after its last
+    visit); step 1 re-dots row 0 with the ky=0 fixup (one duplicated
+    row of MXU work); step half+1 overwrites the appended y-Nyquist row
+    with exact +0.0.
+    """
+    if qplt:
+        cx_ref, cy_ref, cz_ref, f_ref = refs[:4]
+        refs = refs[4:]
+    (cc_ref, ss_ref, alt_ref, out_ref,
+     ar_ref, ai_ref, br_ref, bi_ref) = refs
+    i = pl.program_id(0)
+    yd = jnp.minimum(i, half - 1)  # draw row (clamped tail recompute)
+    yo = i - 1                     # dot/output row
+
+    def coefs_row():
+        return (
+            (cx_ref[0], cy_ref[0], cz_ref[0], f_ref[0]) if qplt else None
+        )
+
+    def phase(dst, src):
+        # one straight-line region: draws(row i) -> dst, dots(src=row
+        # i-1) -> out.  dst and src are distinct refs, so the two
+        # streams share no memory dependence.
+        m = (m0[...], m1[...], m2[...], m3[...])
+        c = (c0[...], c1[...], c2[...], c3[...])
+        D_re, D_im = _row_draws(plane_ref, m, c, pk_ref[0], yd,
+                                fixed_power, fdt)
+        dst[0][...] = D_re
+        dst[1][...] = D_im
+        arrays = _row_pack(src[0][...], src[1][...], yo, coefs_row(),
+                           fund=fund, half=half, ppd=ppd,
+                           just_density=just_density, qplt=qplt, fdt=fdt)
+        Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
+        _row_dots(arrays, Cc, Ss, alt, out_ref, fdt=fdt, prec=prec,
+                  interp=interp)
+
+    A = (ar_ref, ai_ref)
+    B = (br_ref, bi_ref)
+
+    @pl.when((i & 1) == 0)
+    def _():
+        phase(A, B)
+
+    @pl.when((i & 1) == 1)
+    def _():
+        phase(B, A)
+
+    @pl.when(i == 1)
+    def _():
+        # redo row 0 with the ky=0 self-conjugate fixup (overwrites the
+        # plain-dot result written by phase() this step)
+        arrays = _row_pack(ar_ref[...], ai_ref[...], 0, coefs_row(),
+                           fund=fund, half=half, ppd=ppd,
+                           just_density=just_density, qplt=qplt, fdt=fdt)
+        arrays = _row_fix(arrays, half, fdt, interp)
+        Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
+        _row_dots(arrays, Cc, Ss, alt, out_ref, fdt=fdt, prec=prec,
+                  interp=interp)
+
+    @pl.when(i == half + 1)
+    def _():
+        # the appended y-Nyquist row: exact +0.0
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+def _mega_pipe_on() -> bool:
+    """ZT_MEGA_PIPE=1 selects the software-pipelined mega kernel.  Read
+    at trace time like the other ZT_* kernel knobs; A/B runs use
+    separate processes."""
+    import os
+
+    return os.environ.get("ZT_MEGA_PIPE") == "1"
 
 
 @partial(jax.jit, static_argnames=("cfg", "fixed_power", "just_density",
@@ -778,12 +893,20 @@ def halfspace_pack_zx_pallas(
     prec = _pallas_precision()
 
     nj = narray * 4
-    grid = (half + 1,)
+    pipe = _mega_pipe_on()
+    grid = (half + 2,) if pipe else (half + 1,)
 
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     hm1 = half - 1
     pkspec = pl.BlockSpec(
         (1, Z, X), lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0))
+    )
+    # dot-phase blocks lag the grid by one step in the pipelined form
+    coefspec = pl.BlockSpec(
+        (1, Z, X),
+        (lambda y: (jnp.clip(i32(y) - 1, i32(0), i32(hm1)), i32(0), i32(0)))
+        if pipe else
+        (lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0))),
     )
     mspec = pl.BlockSpec((Z, X), lambda y: (i32(0), i32(0)))
     pspec = pl.BlockSpec(
@@ -793,7 +916,11 @@ def halfspace_pack_zx_pallas(
         shp, lambda y: tuple(i32(0) for _ in shp)
     )
     ospec = pl.BlockSpec(
-        (nj, 1, Z, X), lambda y: (i32(0), i32(y), i32(0), i32(0))
+        (nj, 1, Z, X),
+        (lambda y: (i32(0), jnp.clip(i32(y) - 1, i32(0), i32(half)),
+                    i32(0), i32(0)))
+        if pipe else
+        (lambda y: (i32(0), i32(y), i32(0), i32(0))),
     )
 
     from .pallas_fft import _assert_mosaic_blocks
@@ -806,12 +933,12 @@ def halfspace_pack_zx_pallas(
     in_specs = [pspec] + [mspec] * 8 + [pkspec]
     if qplt:
         args += list(plt_coefs)
-        in_specs += [pkspec] * 4  # y-clamped (1, Z, X) blocks like pk
+        in_specs += [coefspec] * 4  # y-clamped (1, Z, X) blocks like pk
     args += [Cc, Ss, alt]
     in_specs += [matspec(Cc.shape), matspec(Ss.shape), matspec(alt.shape)]
     out = pl.pallas_call(
         partial(
-            _pack_zx_kernel,
+            _pack_zx_pipe_kernel if pipe else _pack_zx_kernel,
             fixed_power=fixed_power,
             fdt=fdt,
             fund=cfg.fundamental,
@@ -826,6 +953,9 @@ def halfspace_pack_zx_pallas(
         grid=grid,
         in_specs=in_specs,
         out_specs=ospec,
+        scratch_shapes=(
+            [pltpu.VMEM((Z, X), pk.dtype)] * 4 if pipe else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
