@@ -88,8 +88,10 @@ def run(tables, pk_eff, stage: str):
             cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
             fixed_power=cfg.fixed_power, just_density=cfg.just_density,
         )
-    if stage == "mega":
-        # the fused synth+pack+zx kernel (ZT_PALLAS_MEGA candidate route)
+    if stage in ("mega", "megak"):
+        # the fused synth+pack+zx kernel (ZT_PALLAS_MEGA candidate
+        # route); "megak" stops before the c2r y-transform to attribute
+        # kernel-only time (the ZT_MEGA_PIPE A/B)
         from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
         from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
 
@@ -97,6 +99,8 @@ def run(tables, pk_eff, stage: str):
             cfg, tables.planes, tables.mzx, tables.czx, pk_eff,
             fixed_power=cfg.fixed_power, just_density=cfg.just_density,
         )
+        if stage == "megak":
+            return g
         return c2r_y_folded_pallas(g)
     spm = synthesize_half_pair(cfg, tables, dtype=jnp.float32, pk_eff=pk_eff)
     if stage == "synth":

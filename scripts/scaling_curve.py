@@ -99,16 +99,32 @@ def slab_point_1024(plt):
     half = PPD // 2
     ys = half // NY  # generated-half rows per y-slab
 
+    def _force(r):
+        # Scalar fetch that depends on every output leaf.  Through the
+        # axon tunnel block_until_ready returns at dispatch, not
+        # completion (the r5 first-cut recorded an impossible 0.8 ms
+        # 1024^3 "step"); only an np.asarray fetch truly synchronizes.
+        s = sum(jnp.sum(a[(0,) * a.ndim]) for a in jax.tree.leaves(r))
+        return float(np.asarray(s))
+
     def time_call(fn, *args):
+        """K-vs-1 dispatch-delta timing with a forcing scalar fetch, so
+        the (large, tunnel-bound) fetch latency cancels like bench.py's
+        chain(K)-chain(1) delta."""
         r = fn(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), r)
-        ts = []
-        for _ in range(3):
+        _force(r)  # compile + warm-up
+
+        def run_k(k):
             t0 = time.perf_counter()
-            r = fn(*args)
-            jax.tree.map(lambda a: a.block_until_ready(), r)
-            ts.append(time.perf_counter() - t0)
-        return min(ts), r
+            for _ in range(k):
+                r = fn(*args)
+            _force(r)
+            return time.perf_counter() - t0
+
+        K = 4
+        t1 = min(run_k(1) for _ in range(2))
+        tk = min(run_k(K) for _ in range(2))
+        return max(tk - t1, 0.0) / (K - 1), r
 
     t_zx, slab = time_call(
         lambda: _synth_ifft_zx_pair(0, ys, cfg, tables, jnp.float32)
