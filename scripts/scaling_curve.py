@@ -148,20 +148,42 @@ def slab_point_1024(plt):
 
 points = []
 sizes = [(256, 0), (256, 1), (512, 0), (512, 1)]
+do_slab = True
 if os.environ.get("SCAL_SMALL"):
     sizes = [(int(os.environ["SCAL_SMALL"]), 0)]
+    do_slab = False
+if os.environ.get("SCAL_ONLY"):
+    # rerun a subset and merge over the existing artifact, e.g.
+    # SCAL_ONLY=512:1,slab  (ppd:plt in-core points; "slab" = the 1024
+    # out-of-core slab-step point)
+    want = os.environ["SCAL_ONLY"].split(",")
+    sizes = [tuple(int(v) for v in w.split(":")) for w in want
+             if w != "slab"]
+    do_slab = "slab" in want
 for ppd, plt in sizes:
     pt = bench_point(ppd, plt)
     if pt:
         points.append(pt)
-for plt in (0,):
+if do_slab:
     try:
-        pt = slab_point_1024(plt)
+        pt = slab_point_1024(0)
         if pt:
             points.append(pt)
     except Exception as e:
         print(f"# 1024 slab point FAILED: {type(e).__name__}: {e}",
               flush=True)
+
+if os.environ.get("SCAL_ONLY"):
+    # keep prior points not re-measured this run
+    try:
+        with open(root / "runs" / "scaling_r5.json") as f:
+            prior = json.load(f)["points"]
+        key = lambda p: (p["ppd"], p["plt"], p["mode"])
+        fresh = {key(p) for p in points}
+        points = [p for p in prior if key(p) not in fresh] + points
+        points.sort(key=lambda p: (p["ppd"], p["plt"]))
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
 
 out = {"recorded_unix": time.time(), "points": points,
        "note": "in-core points via bench.py chain timing; 1024 is the "

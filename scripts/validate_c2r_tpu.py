@@ -207,6 +207,8 @@ if os.environ.get("VAL_MEGA", "1") != "0":
             for ax in (-2, -1):
                 re, im = mmfft.cfft_axis(re, im, ax, +1)
             b = jnp.stack([re, im], axis=-4)
+            # ZT_MEGA_PAIR omits the (zero) y-Nyquist row
+            b = b[..., : g.shape[-3], :, :]
             return jnp.abs(g - b).max(), jnp.abs(b).max()
 
         probe(f"mega_{ppd}", lambda: diff_mega(tables, pk_eff))

@@ -93,6 +93,23 @@ def test_c2r_pallas_matches_plain(n):
     np.testing.assert_allclose(got, want, atol=4e-7 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("n", [16, 32])
+def test_c2r_pallas_even_ky_drops_nyquist(n):
+    """An even ky extent (h rows, the ZT_MEGA_PAIR producer form) equals
+    the h+1 form with a zero Nyquist row, bit-for-bit."""
+    from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
+
+    rng = np.random.default_rng(7)
+    h = n // 2
+    spm = jnp.asarray(rng.normal(size=(2, 2, 2, h + 1, n, n)), jnp.float32)
+    spm = spm.at[:, :, :, h].set(0.0)
+    want = np.asarray(c2r_y_folded_pallas(spm, interpret=True))
+    got = np.asarray(
+        c2r_y_folded_pallas(spm[:, :, :, :h], interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_full_pallas_route_matches_xla():
     """zx kernel + Pallas c2r == ifft3_half_pair's XLA route (f32)."""
     from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas

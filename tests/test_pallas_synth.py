@@ -239,6 +239,44 @@ def test_mega_kernel_matches_composition(case):
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("g", [2, 4])
+@pytest.mark.parametrize("flavor", ["plain", "plt"])
+def test_mega_pair_kernel_matches_serial(monkeypatch, g, flavor):
+    """ZT_MEGA_PAIR=g (g rows per grid step, Nyquist-free ky extent) is
+    bit-identical to the serial mega kernel on the data rows, and its
+    even-ky output round-trips through c2r_y_folded_pallas's analytic
+    Nyquist drop (pallas_fft._c2r_math has_nyq=False) bit-identically."""
+    from zeldovich_tpu.ops.pallas_fft import c2r_y_folded_pallas
+    from zeldovich_tpu.ops.pallas_synth import halfspace_pack_zx_pallas
+
+    model = _plt_model() if flavor == "plt" else _model()
+    cfg, tables, pk_eff = model.cfg, model.tables, model.pk_eff
+    coefs = model.plt_coefs if flavor == "plt" else None
+    kw = dict(fixed_power=cfg.fixed_power, just_density=cfg.just_density,
+              interpret=True, plt_coefs=coefs)
+
+    monkeypatch.delenv("ZT_MEGA_PAIR", raising=False)
+    halfspace_pack_zx_pallas.clear_cache()
+    base = np.asarray(halfspace_pack_zx_pallas(
+        cfg, tables.planes, tables.mzx, tables.czx, pk_eff, **kw))
+    half = base.shape[3] - 1
+    assert np.all(base[:, :, :, half] == 0)  # the omitted row is zero
+
+    monkeypatch.setenv("ZT_MEGA_PAIR", str(g))
+    halfspace_pack_zx_pallas.clear_cache()
+    try:
+        pair = np.asarray(halfspace_pack_zx_pallas(
+            cfg, tables.planes, tables.mzx, tables.czx, pk_eff, **kw))
+    finally:
+        halfspace_pack_zx_pallas.clear_cache()
+    assert pair.shape[3] == half
+    np.testing.assert_array_equal(base[:, :, :, :half], pair)
+
+    got = np.asarray(c2r_y_folded_pallas(jnp.asarray(pair), interpret=True))
+    want = np.asarray(c2r_y_folded_pallas(jnp.asarray(base), interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow  # 30 s 128^3 interpret run (the composition tests
 # above keep fast-tier mega coverage)
 def test_mega_forward_route(monkeypatch):

@@ -456,6 +456,11 @@ def _half_pair_forward(cfg, tables, pk_eff, dtype, plt_coefs=None):
         )
         if use_c2r_pallas(g.dtype, cfg.ppd):
             return c2r_y_folded_pallas(g)
+        if g.shape[-3] % 2 == 0:
+            # Nyquist-free paired-kernel output: restore the zero row
+            # for the XLA c2r (which wants h+1 ky rows)
+            pad = [(0, 0)] * (g.ndim - 3) + [(0, 1), (0, 0), (0, 0)]
+            g = jnp.pad(g, pad)
         return mmfft.c2r_y_pair(g)
     spm = synthesize_half_pair(
         cfg, tables, dtype=dtype, pk_eff=pk_eff, plt_coefs=plt_coefs

@@ -619,8 +619,10 @@ def _c2r_form() -> str:
     return os.environ.get("ZT_C2R_FORM", "concat")
 
 
-def _c2r_math(a, b, Cm, Sm, alt, h, dot, interp):
-    """P/Q/mirror of one lane-group: a, b are (h+1, W) folded operands.
+def _c2r_math(a, b, Cm, Sm, alt, h, dot, interp, has_nyq=True):
+    """P/Q/mirror of one lane-group: a, b are (h+1, W) folded operands
+    (or (h, W) when has_nyq=False: a Nyquist-free producer whose ky=h
+    row is zero by construction, e.g. the paired mega kernel).
 
     Same M-axis trick as _folded_axis0: Cm[h, k] = cos(pi k) = (-1)^k
     and Sm[h, :] = 0, so the dots run with exactly h output rows (no
@@ -637,8 +639,9 @@ def _c2r_math(a, b, Cm, Sm, alt, h, dot, interp):
     P = (
         jnp.concatenate([dot(Cm[:h], am), P_h], axis=0)
         + halfc * a[0:1]
-        + halfc * alt * a[h:h + 1]
     )
+    if has_nyq:
+        P = P + halfc * alt * a[h:h + 1]
     Q = jnp.concatenate(
         [dot(Sm[:h], bm), jnp.zeros((1, bm.shape[1]), bm.dtype)], axis=0
     )
@@ -648,17 +651,19 @@ def _c2r_math(a, b, Cm, Sm, alt, h, dot, interp):
 
 
 def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
-                interp):
+                interp, has_nyq=True):
     """Folded c2r y-transform of a zb-thick (z, x) stripe, mirror in VMEM.
 
     Same math as mmfft._c2r_y_pair_folded (whose XLA form loses its MAC
     saving to fold/unfold HBM passes): compute output rows y in [0, h]
     with half-length matmuls, mirror rows y > h in VMEM.  Lane grouping
     of the dots per _c2r_form; zb >= 8 keeps the block's sublane dim
-    Mosaic-legal.
+    Mosaic-legal.  has_nyq=False: the ky axis carries h rows (no
+    Nyquist row; it is zero by construction from the paired mega
+    kernel).
     """
     Cm, Sm, alt = cm_ref[...], sm_ref[...], alt_ref[...]
-    h = spm_ref.shape[3] - 1
+    h = spm_ref.shape[3] - 1 if has_nyq else spm_ref.shape[3]
     X = spm_ref.shape[5]
     dot = partial(_kdot, prec=prec)
 
@@ -670,7 +675,7 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
             smi = spm_ref[0, 1, 1, :, zi]
             a = jnp.concatenate([spr + smr, spi - smi], axis=1)
             b = jnp.concatenate([spi + smi, smr - spr], axis=1)
-            full = _c2r_math(a, b, Cm, Sm, alt, h, dot, interp)
+            full = _c2r_math(a, b, Cm, Sm, alt, h, dot, interp, has_nyq)
             out_ref[0, 0, :, zi] = full[:, :X]
             out_ref[0, 1, :, zi] = full[:, X:]
         return
@@ -685,7 +690,7 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
         cols_b += [spi + smi, smr - spr]  # twoDi, twoFi
     a = jnp.concatenate(cols_a, axis=1)
     b = jnp.concatenate(cols_b, axis=1)
-    full = _c2r_math(a, b, Cm, Sm, alt, h, dot, interp)
+    full = _c2r_math(a, b, Cm, Sm, alt, h, dot, interp, has_nyq)
     for zi in range(zb):
         out_ref[0, 0, :, zi] = full[:, (2 * zi) * X:(2 * zi + 1) * X]
         out_ref[0, 1, :, zi] = full[:, (2 * zi + 1) * X:(2 * zi + 2) * X]
@@ -695,18 +700,25 @@ def _c2r_kernel(spm_ref, cm_ref, sm_ref, alt_ref, out_ref, *, zb, prec,
 def c2r_y_folded_pallas(spm, interpret=None):
     """Half-spectrum inverse y-transform (mmfft.c2r_y_pair), folded + fused.
 
-    spm: (..., 2, 2, h+1, Z, X) float32 -- (+/- packing, re/im, ky, Z, X)
-    with z and x already transformed.  Returns (..., 2, n, Z, X), the
-    packed x-space pair; unnormalized +1 convention as c2r_y_pair.
+    spm: (..., 2, 2, ky, Z, X) float32 -- (+/- packing, re/im, ky, Z, X)
+    with z and x already transformed.  The ky extent disambiguates by
+    parity (n even => h = n/2 even, h+1 odd): ky odd is the usual h+1
+    rows including the y-Nyquist row; ky even is the Nyquist-free form
+    the paired mega kernel emits (the row is zero by construction, so
+    its contribution is dropped analytically).  Returns
+    (..., 2, n, Z, X), the packed x-space pair; unnormalized +1
+    convention as c2r_y_pair.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    hp1, Z, X = spm.shape[-3:]
+    ky, Z, X = spm.shape[-3:]
+    has_nyq = bool(ky % 2)
+    hp1 = ky if has_nyq else ky + 1
     n = 2 * (hp1 - 1)
     assert spm.shape[-5:-3] == (2, 2)
     lead = spm.shape[:-5]
     b = int(np.prod(lead)) if lead else 1
-    flat = spm.reshape(b, 2, 2, hp1, Z, X)
+    flat = spm.reshape(b, 2, 2, ky, Z, X)
     from .mmfft import _c2r_fold_mats
 
     Cm, Sm, alt3 = _c2r_fold_mats(n)
@@ -726,7 +738,7 @@ def c2r_y_folded_pallas(spm, interpret=None):
         Xb //= 2
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     in_spec = pl.BlockSpec(
-        (1, 2, 2, hp1, zb, Xb),
+        (1, 2, 2, ky, zb, Xb),
         lambda i, j, t: (i32(i), i32(0), i32(0), i32(0), i32(j), i32(t)),
     )
     out_spec = pl.BlockSpec(
@@ -737,11 +749,12 @@ def c2r_y_folded_pallas(spm, interpret=None):
         shape, lambda i, j, t: tuple(i32(0) for _ in shape)
     )
     _assert_mosaic_blocks(
-        ((1, 2, 2, hp1, zb, Xb), flat.shape),
+        ((1, 2, 2, ky, zb, Xb), flat.shape),
         ((1, 2, n, zb, Xb), (b, 2, n, Z, X)),
     )
     out = pl.pallas_call(
-        partial(_c2r_kernel, zb=zb, prec=prec, interp=interpret),
+        partial(_c2r_kernel, zb=zb, prec=prec, interp=interpret,
+                has_nyq=has_nyq),
         out_shape=jax.ShapeDtypeStruct((b, 2, n, Z, X), spm.dtype),
         grid=(b, Z // zb, X // Xb),
         in_specs=[in_spec, mspec(Cm.shape), mspec(Sm.shape), mspec(alt.shape)],

@@ -720,8 +720,12 @@ def _row_fix(arrays, half, fdt, interp):
     return [(fixed0(sp, sm), fixed0(sm, sp)) for sp, sm in arrays]
 
 
-def _row_dots(arrays, Cc, Ss, alt, out_ref, *, fdt, prec, interp):
-    """Folded in-plane (z, x) DFTs of every packed pair -> out planes."""
+def _row_dots(arrays, Cc, Ss, alt, out_ref, *, fdt, prec, interp, row=0):
+    """Folded in-plane (z, x) DFTs of every packed pair -> out planes.
+
+    `row` selects the y-row within the out block (the paired kernel's
+    out blocks carry g rows; the serial/pipe forms carry 1).
+    """
     from .pallas_fft import _folded_axis0, _folded_xpass
 
     sg = fdt(1.0)  # inverse (FFTW +1) convention
@@ -730,8 +734,8 @@ def _row_dots(arrays, Cc, Ss, alt, out_ref, *, fdt, prec, interp):
             re, im = _folded_axis0(re, im, Cc, Ss, alt, sg, prec, interp)
             re, im = _folded_xpass(re, im, Cc, Ss, alt, sg, prec, interp)
             j = (a * 2 + pm) * 2
-            out_ref[j + 0, 0] = re
-            out_ref[j + 1, 0] = im
+            out_ref[j + 0, row] = re
+            out_ref[j + 1, row] = im
 
 
 def _pack_zx_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
@@ -863,6 +867,76 @@ def _mega_pipe_on() -> bool:
     return os.environ.get("ZT_MEGA_PIPE") == "1"
 
 
+def _mega_pair_g() -> int:
+    """ZT_MEGA_PAIR=g: g rows per grid step in ONE straight-line body.
+
+    Row r+1's draw chain is statically independent of row r's folded
+    dots, so Mosaic's scheduler can hide VPU draws under MXU dots
+    (scripts/overlap_probe.py measured 81% overlap for independent
+    streams in one body; the scratch-staged ZT_MEGA_PIPE form defeated
+    it, runs/pipe_r5.log).  No VMEM scratch: the deviates stay SSA
+    values.  The out block carries g rows, so VMEM grows ~g-fold on
+    the output window.  0 = off (default until measured)."""
+    import os
+
+    try:
+        g = int(os.environ.get("ZT_MEGA_PAIR", "0"))
+    except ValueError:
+        return 0
+    return g if g >= 2 else 0
+
+
+def _pack_zx_pair_kernel(plane_ref, m0, m1, m2, m3, c0, c1, c2, c3, pk_ref,
+                         *refs, g, fixed_power, fdt,
+                         fund, half, ppd, just_density, qplt, prec, interp):
+    """g-rows-per-step mega kernel: draws of all g rows first, then dots.
+
+    The dots of row y0+r depend only on that row's deviates, so during
+    row r's dots the scheduler is free to issue rows r+1..g-1's draw
+    instructions (and vice versa) -- the probe-faithful overlap
+    structure.  Emits NO y-Nyquist row: out has `half` rows and the c2r
+    consumer drops the (zero) Nyquist contribution analytically
+    (pallas_fft._c2r_math has_nyq=False).
+    """
+    if qplt:
+        cx_ref, cy_ref, cz_ref, f_ref = refs[:4]
+        refs = refs[4:]
+    cc_ref, ss_ref, alt_ref, out_ref = refs
+    p = pl.program_id(0)
+    y0 = g * p
+
+    def body(do_fix):
+        m = (m0[...], m1[...], m2[...], m3[...])
+        c = (c0[...], c1[...], c2[...], c3[...])
+        draws = [
+            _row_draws(plane_ref, m, c, pk_ref[r], y0 + r,
+                       fixed_power, fdt)
+            for r in range(g)
+        ]
+        Cc, Ss, alt = cc_ref[...], ss_ref[...], alt_ref[...]
+        for r, (D_re, D_im) in enumerate(draws):
+            coefs = (
+                (cx_ref[r], cy_ref[r], cz_ref[r], f_ref[r])
+                if qplt else None
+            )
+            arrays = _row_pack(D_re, D_im, y0 + r, coefs, fund=fund,
+                               half=half, ppd=ppd,
+                               just_density=just_density, qplt=qplt,
+                               fdt=fdt)
+            if do_fix and r == 0:
+                arrays = _row_fix(arrays, half, fdt, interp)
+            _row_dots(arrays, Cc, Ss, alt, out_ref, fdt=fdt, prec=prec,
+                      interp=interp, row=r)
+
+    @pl.when(p == 0)
+    def _():
+        body(do_fix=True)
+
+    @pl.when(p > 0)
+    def _():
+        body(do_fix=False)
+
+
 @partial(jax.jit, static_argnames=("cfg", "fixed_power", "just_density",
                                    "interpret"))
 def halfspace_pack_zx_pallas(
@@ -877,6 +951,10 @@ def halfspace_pack_zx_pallas(
     zx_folded_pallas(_fix_ky0_packed(pack(...))) produces -- ready for
     the c2r y-transform.  Tolerance-equal (not bit-equal) to that
     composition: folding changes the contraction order at the ulp level.
+
+    Under ZT_MEGA_PAIR=g the ky extent is `half` (the always-zero
+    y-Nyquist row is omitted; c2r_y_folded_pallas detects the even
+    extent and drops the contribution analytically).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -894,20 +972,34 @@ def halfspace_pack_zx_pallas(
 
     nj = narray * 4
     pipe = _mega_pipe_on()
-    grid = (half + 2,) if pipe else (half + 1,)
+    pair = 0 if pipe else _mega_pair_g()
+    if pair and half % pair:
+        pair = 0
+    if pair:
+        grid = (half // pair,)
+    else:
+        grid = (half + 2,) if pipe else (half + 1,)
 
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     hm1 = half - 1
-    pkspec = pl.BlockSpec(
-        (1, Z, X), lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0))
-    )
-    # dot-phase blocks lag the grid by one step in the pipelined form
-    coefspec = pl.BlockSpec(
-        (1, Z, X),
-        (lambda y: (jnp.clip(i32(y) - 1, i32(0), i32(hm1)), i32(0), i32(0)))
-        if pipe else
-        (lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0))),
-    )
+    if pair:
+        pkspec = pl.BlockSpec(
+            (pair, Z, X), lambda y: (i32(y), i32(0), i32(0))
+        )
+        coefspec = pkspec
+    else:
+        pkspec = pl.BlockSpec(
+            (1, Z, X),
+            lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0)),
+        )
+        # dot-phase blocks lag the grid by one step in the pipelined form
+        coefspec = pl.BlockSpec(
+            (1, Z, X),
+            (lambda y: (jnp.clip(i32(y) - 1, i32(0), i32(hm1)), i32(0),
+                        i32(0)))
+            if pipe else
+            (lambda y: (jnp.minimum(i32(y), i32(hm1)), i32(0), i32(0))),
+        )
     mspec = pl.BlockSpec((Z, X), lambda y: (i32(0), i32(0)))
     pspec = pl.BlockSpec(
         planes.shape, lambda y: (i32(0), i32(0)), memory_space=pltpu.SMEM
@@ -915,19 +1007,28 @@ def halfspace_pack_zx_pallas(
     matspec = lambda shp: pl.BlockSpec(
         shp, lambda y: tuple(i32(0) for _ in shp)
     )
-    ospec = pl.BlockSpec(
-        (nj, 1, Z, X),
-        (lambda y: (i32(0), jnp.clip(i32(y) - 1, i32(0), i32(half)),
-                    i32(0), i32(0)))
-        if pipe else
-        (lambda y: (i32(0), i32(y), i32(0), i32(0))),
-    )
+    if pair:
+        nyrows = half  # Nyquist-free form; the c2r consumer drops it
+        ospec = pl.BlockSpec(
+            (nj, pair, Z, X), lambda y: (i32(0), i32(y), i32(0), i32(0))
+        )
+        oblock = (nj, pair, Z, X)
+    else:
+        nyrows = half + 1
+        ospec = pl.BlockSpec(
+            (nj, 1, Z, X),
+            (lambda y: (i32(0), jnp.clip(i32(y) - 1, i32(0), i32(half)),
+                        i32(0), i32(0)))
+            if pipe else
+            (lambda y: (i32(0), i32(y), i32(0), i32(0))),
+        )
+        oblock = (nj, 1, Z, X)
 
     from .pallas_fft import _assert_mosaic_blocks
 
     _assert_mosaic_blocks(
-        ((1, Z, X), (half, Z, X)),
-        ((nj, 1, Z, X), (nj, half + 1, Z, X)),
+        ((pair or 1, Z, X), (half, Z, X)),
+        (oblock, (nj, nyrows, Z, X)),
     )
     args = [planes, *mzx, *czx, pk]
     in_specs = [pspec] + [mspec] * 8 + [pkspec]
@@ -936,9 +1037,13 @@ def halfspace_pack_zx_pallas(
         in_specs += [coefspec] * 4  # y-clamped (1, Z, X) blocks like pk
     args += [Cc, Ss, alt]
     in_specs += [matspec(Cc.shape), matspec(Ss.shape), matspec(alt.shape)]
+    kern = (
+        partial(_pack_zx_pair_kernel, g=pair) if pair
+        else (_pack_zx_pipe_kernel if pipe else _pack_zx_kernel)
+    )
     out = pl.pallas_call(
         partial(
-            _pack_zx_pipe_kernel if pipe else _pack_zx_kernel,
+            kern,
             fixed_power=fixed_power,
             fdt=fdt,
             fund=cfg.fundamental,
@@ -949,7 +1054,7 @@ def halfspace_pack_zx_pallas(
             prec=prec,
             interp=interpret,
         ),
-        out_shape=jax.ShapeDtypeStruct((nj, half + 1, Z, X), pk.dtype),
+        out_shape=jax.ShapeDtypeStruct((nj, nyrows, Z, X), pk.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=ospec,
@@ -961,4 +1066,4 @@ def halfspace_pack_zx_pallas(
         ),
         interpret=interpret,
     )(*args)
-    return out.reshape(narray, 2, 2, half + 1, Z, X)
+    return out.reshape(narray, 2, 2, nyrows, Z, X)
