@@ -73,6 +73,8 @@ def slab_point_1024(plt):
     from zeldovich_tpu.utils.backend import enable_compilation_cache
 
     enable_compilation_cache()
+    from functools import partial
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -99,39 +101,55 @@ def slab_point_1024(plt):
     half = PPD // 2
     ys = half // NY  # generated-half rows per y-slab
 
-    def _force(r):
-        # Scalar fetch that depends on every output leaf.  Through the
-        # axon tunnel block_until_ready returns at dispatch, not
-        # completion (the r5 first-cut recorded an impossible 0.8 ms
-        # 1024^3 "step"); only an np.asarray fetch truly synchronizes.
-        s = sum(jnp.sum(a[(0,) * a.ndim]) for a in jax.tree.leaves(r))
-        return float(np.asarray(s))
+    from jax import lax
 
-    def time_call(fn, *args):
-        """K-vs-1 dispatch-delta timing with a forcing scalar fetch, so
-        the (large, tunnel-bound) fetch latency cancels like bench.py's
-        chain(K)-chain(1) delta."""
-        r = fn(*args)
-        _force(r)  # compile + warm-up
+    def time_chain(chain):
+        """bench.py's in-jit K-vs-1 chain delta.  Everything eager is
+        wrong through the axon tunnel: block_until_ready returns at
+        dispatch (first cut recorded 0.8 ms), and every separate jit
+        invocation re-marshals its table arguments (second cut recorded
+        a ~16 s/call upload tax).  A lax.fori_loop over the slab call
+        inside ONE jit pays dispatch + fetch once, and the
+        (chain(K)-chain(1))/(K-1) delta cancels them."""
+        np.asarray(chain(1))  # compile + warm-up
+        np.asarray(chain(K := 4))
 
-        def run_k(k):
+        def run(k):
             t0 = time.perf_counter()
-            for _ in range(k):
-                r = fn(*args)
-            _force(r)
+            np.asarray(chain(k))
             return time.perf_counter() - t0
 
-        K = 4
-        t1 = min(run_k(1) for _ in range(2))
-        tk = min(run_k(K) for _ in range(2))
-        return max(tk - t1, 0.0) / (K - 1), r
+        t1 = min(run(1) for _ in range(2))
+        tk = min(run(K) for _ in range(2))
+        return max(tk - t1, 0.0) / (K - 1)
 
-    t_zx, slab = time_call(
-        lambda: _synth_ifft_zx_pair(0, ys, cfg, tables, jnp.float32)
-    )
+    @partial(jax.jit, static_argnames=("k",))
+    def zx_chain(tables, k):
+        def body(i, acc):
+            # y0 = i: each iteration synthesizes a DIFFERENT slab, so
+            # XLA can neither hoist nor CSE the loop body
+            r = _synth_ifft_zx_pair(i, ys, cfg, tables, jnp.float32)
+            return acc + r[(0,) * r.ndim]
+
+        return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+
+    t_zx = time_chain(lambda k: zx_chain(tables, k))
+    slab = _synth_ifft_zx_pair(0, ys, cfg, tables, jnp.float32)
     zs = PPD // NY
     zslab = jnp.zeros(slab.shape[:-3] + (PPD, zs, PPD), jnp.float32)
-    t_y, _ = time_call(lambda: _ifft_y_pair(zslab))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def y_chain(zslab, k):
+        def body(i, acc):
+            # carry-dependent corner write chains the iterations; costs
+            # one buffer pass per step (small vs the transform itself)
+            z = zslab.at[(0,) * zslab.ndim].add(acc * jnp.float32(1e-30))
+            r = _ifft_y_pair(z)
+            return acc + r[(0,) * r.ndim]
+
+        return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+
+    t_y = time_chain(lambda k: y_chain(zslab, k))
     narray = 4 if plt else 2
     # full-volume slab-step time: NY y-slabs (incl. mirrors folded in the
     # half-spectrum form) + NY z-slabs
