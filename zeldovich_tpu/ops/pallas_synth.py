@@ -867,7 +867,7 @@ def _mega_pipe_on() -> bool:
     return os.environ.get("ZT_MEGA_PIPE") == "1"
 
 
-def _mega_pair_g() -> int:
+def _mega_pair_g():
     """ZT_MEGA_PAIR=g: g rows per grid step in ONE straight-line body.
 
     Row r+1's draw chain is statically independent of row r's folded
@@ -876,11 +876,15 @@ def _mega_pair_g() -> int:
     streams in one body; the scratch-staged ZT_MEGA_PIPE form defeated
     it, runs/pipe_r5.log).  No VMEM scratch: the deviates stay SSA
     values.  The out block carries g rows, so VMEM grows ~g-fold on
-    the output window.  0 = off (default until measured)."""
+    the output window.  Unset = auto (shape-gated g=2, measured 36.3
+    -> 30.9 ms at 512^3 non-PLT, runs/pair_r5.log); 0 disables."""
     import os
 
+    v = os.environ.get("ZT_MEGA_PAIR")
+    if v is None:
+        return None  # auto: the caller applies the VMEM shape gate
     try:
-        g = int(os.environ.get("ZT_MEGA_PAIR", "0"))
+        g = int(v)
     except ValueError:
         return 0
     return g if g >= 2 else 0
@@ -973,6 +977,18 @@ def halfspace_pack_zx_pallas(
     nj = narray * 4
     pipe = _mega_pipe_on()
     pair = 0 if pipe else _mega_pair_g()
+    if pair is None:
+        # auto: on where the doubled out window leaves VMEM headroom
+        # and the form is on-chip-validated (non-PLT/density; PLT's
+        # nj = 16 out window presses the 110 MB limit at 512^3 -- opt
+        # in explicitly to measure it).  Real lowering only: interpret
+        # mode keeps the serial default so CPU parity oracles retain
+        # the h+1 reference shape (the pair form is covered there by
+        # the explicit-knob tests).
+        pair = 2 if (
+            not interpret and not qplt
+            and nj * 2 * Z * X * 4 * 2 <= 40 * 2**20
+        ) else 0
     if pair and half % pair:
         pair = 0
     if pair:
