@@ -83,7 +83,7 @@ def slab_point_1024(plt):
     from zeldovich_tpu.utils.params import Parameters
 
     PPD = int(os.environ.get("SCAL_BIG_PPD", "1024"))
-    NY = 8
+    NY = int(os.environ.get("SCAL_NY", "8"))
     assets = root / "zeldovich_tpu" / "assets"
     d = dict(
         BoxSize=720.0, NP=PPD**3, CPD=PPD, ICFormat="RVZel",
