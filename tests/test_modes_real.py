@@ -138,3 +138,55 @@ def test_pair_pipeline_end_to_end(tmp_path):
             ra = read_particles(fa, "RVZel")
             rb = read_particles(fb, "RVZel")
             np.testing.assert_allclose(ra["displ"], rb["displ"], atol=1e-10)
+
+
+@pytest.mark.parametrize("over", [
+    {},
+    {"ZD_qPLT": 1, "ZD_PLT_filename": None,  # set below
+     "ZD_qPLT_rescale": 1, "ZD_PLT_target_z": 5.0},
+    {"ZD_qdensity": 2},
+    {"ZD_qPk_fix_to_mean": 1},
+    {"ZD_k_cutoff": 2.0},
+])
+@pytest.mark.parametrize("y0,ny", [(0, 4), (4, 4), (2, 3)])
+def test_slab_identity_matches_hermitian_path(over, y0, ny):
+    """synthesize_slab_pair_identity == synthesize_pair, bit-for-bit.
+
+    The out-of-core slab fast path (DESIGN SS24: the generic
+    hermitian_source form gathers every mode's jump-table limbs,
+    ~8 s/slab at 1024^3) must reproduce the generic path exactly --
+    including the ky=0 conjugate-reflect fixup (y0 == 0 slabs), the
+    origin's sign-of-zero, PLT f products, and the zero rules.
+    """
+    from zeldovich_tpu.ops.modes_real import (
+        synthesize_pair,
+        synthesize_slab_pair_identity,
+    )
+
+    over = dict(over)
+    if over.get("ZD_qPLT"):
+        # PLT needs the eigenmode table: build through the model
+        from test_modes import ASSETS
+        from test_pallas_synth import _plt_model
+
+        over["ZD_PLT_filename"] = str(ASSETS / "eigmodes128")
+        model = _plt_model(ppd=16)
+        cfg, tables = model.cfg, model.tables
+    else:
+        param, Pk, cfg, tables = make_setup(ppd=16, **over)
+    ppd = cfg.ppd
+    y = (y0 + jnp.arange(ny))[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    want = np.asarray(
+        synthesize_pair(y, z, x, cfg, tables, dtype=jnp.float32)
+    )
+    got = np.asarray(
+        synthesize_slab_pair_identity(
+            y0, ny, cfg, tables, dtype=jnp.float32
+        )
+    )
+    assert want.shape == got.shape
+    np.testing.assert_array_equal(
+        want.view(np.uint32), got.view(np.uint32)
+    )

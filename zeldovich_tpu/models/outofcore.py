@@ -90,9 +90,6 @@ def _ifft_y(zslab):
 def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None):
     """Pair twin of _synth_ifft_zx: (narray, 2, ny, Z, X)."""
     ppd = cfg.ppd
-    y = (y0 + jnp.arange(ny))[:, None, None]
-    z = jnp.arange(ppd)[None, :, None]
-    x = jnp.arange(ppd)[None, None, :]
     # single-host path: the fused draw kernel applies (bit-identical to
     # the jnp chain).  TPU/force only: on CPU the interpret-mode kernel
     # is 6x slower than the XLA chain for identical bytes.
@@ -102,10 +99,27 @@ def _synth_ifft_zx_pair(y0, ny, cfg, tables, dtype, gen_phi=False, phi_pair=None
         jax.default_backend() == "tpu"
         or os.environ.get("ZT_PALLAS_FORCE") == "1"
     )
-    k = synthesize_pair(
-        y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi, phi_pair=phi_pair,
-        allow_pallas=pallas_ok,
-    )
+    if (
+        gen_phi is False and phi_pair is None
+        and os.environ.get("ZT_SLAB_IDENTITY") != "0"
+    ):
+        # the slab rows lie inside the generated half, where
+        # hermitian_source is the identity: skip its per-mode
+        # jump-table gathers (~8 s/slab at 1024^3, DESIGN SS24);
+        # bit-identical incl. the ky=0 fixup
+        from ..ops.modes_real import synthesize_slab_pair_identity
+
+        k = synthesize_slab_pair_identity(
+            y0, ny, cfg, tables, dtype=dtype, allow_pallas=pallas_ok,
+        )
+    else:
+        y = (y0 + jnp.arange(ny))[:, None, None]
+        z = jnp.arange(ppd)[None, :, None]
+        x = jnp.arange(ppd)[None, None, :]
+        k = synthesize_pair(
+            y, z, x, cfg, tables, dtype=dtype, gen_phi=gen_phi,
+            phi_pair=phi_pair, allow_pallas=pallas_ok,
+        )
     # (narray, 2, ny, Z, X): the re/im at -4 / in-plane trailing dims are
     # exactly the folded Pallas kernel's layout (TPU; XLA matmuls elsewhere)
     from ..ops.pallas_fft import (

@@ -296,6 +296,124 @@ def _pack(Dp, Fp):
     return (Dp[0] - Fp[1], Dp[1] + Fp[0])
 
 
+def synthesize_slab_pair_identity(
+    y0, ny, cfg: SynthConfig, tables: SynthTables, dtype=jnp.float32,
+    allow_pallas: bool = False,
+):
+    """Identity fast path of synthesize_pair for y-slabs inside [0, half).
+
+    The out-of-core slab kernels always synthesize rows
+    y in [y0, y0 + ny) of the GENERATED half, for which hermitian_source
+    is the identity everywhere except the in-plane mirror half of the
+    ky = 0 plane.  The generic elementwise form cannot know that and
+    gathers every mode's jump-table limbs (8 (Z, X)-table gathers at
+    slab size -- measured ~8 s per 32-row slab at 1024^3,
+    runs/slab_anatomy*.log, ~300x the in-core rate).  Here the limb
+    tables broadcast whole -- zero gathers except the 1-D n^2 -> P(k)
+    lookup -- and the ky = 0 plane fixup is applied to the slab's first
+    row iff y0 == 0: the conjugate-reflect of each FINAL field component
+    (incl. the PLT f products), which reads the already-computed source
+    value, so no symmetry assumption enters and the result is
+    bit-identical to the hermitian_source path (tests/test_outofcore,
+    test_modes_real).  Ref: the reference LoadPlane plane-0 rule
+    (zeldovich.cpp:485-503).
+    """
+    from jax import lax
+
+    ppd, half = cfg.ppd, cfg.ppd // 2
+    fdt = dtype
+    y = (jnp.asarray(y0) + jnp.arange(ny))[:, None, None]
+    z = jnp.arange(ppd)[None, :, None]
+    x = jnp.arange(ppd)[None, None, :]
+    ky = y
+    kz = jnp.where(z > half, z - ppd, z)
+    kx = jnp.where(x > half, x - ppd, x)
+    n2 = (kx * kx + ky * ky + kz * kz).astype(jnp.int32)
+    k2 = n2.astype(fdt) * fdt(cfg.fundamental) ** 2
+    zero = zero_rules(kx, ky, kz, n2, cfg)
+    zf = jnp.where(zero, fdt(0), fdt(1))
+
+    Pk = tables.pk_n2[n2].astype(fdt)
+    planes_s = tuple(
+        lax.dynamic_slice_in_dim(jnp.asarray(p), y0, ny)
+        for p in tables.planes
+    )
+    if allow_pallas and _use_pallas(dtype) and tables.mzx is not None:
+        from .pallas_synth import halfspace_boxmuller_pallas
+
+        pk_b = jnp.broadcast_to(Pk, (ny, ppd, ppd))
+        live_b = jnp.broadcast_to(zf, (ny, ppd, ppd))
+        D_re, D_im = halfspace_boxmuller_pallas(
+            planes_s, tables.mzx, tables.czx, pk_b, live_b,
+            fixed_power=cfg.fixed_power,
+        )
+        D, F, G, H, f = _finish_fields(
+            D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd
+        )
+    else:
+        plane_b = tuple(p[:, None, None] for p in planes_s)
+        if tables.mzx is not None:
+            m = tuple(a[None, :, :] for a in tables.mzx)
+            c = tuple(a[None, :, :] for a in tables.czx)
+        else:
+            # ppd > 4096 (no precompose): mz limbs are (n, 1), mx (1, n)
+            mzx, czx = pcg_device.compose_affine(
+                tables.mz, tables.cz, tables.mx, tables.cx
+            )
+            m = tuple(a[None] for a in mzx)
+            c = tuple(a[None] for a in czx)
+        R, T = pcg_device.uniform_pair_from_affine(plane_b, m, c, dtype=fdt)
+        Pk_b = jnp.broadcast_to(Pk, R.shape)
+        amp = (
+            jnp.sqrt(Pk_b) if cfg.fixed_power
+            else jnp.sqrt(-Pk_b * jnp.log(R))
+        )
+        cosv, sinv = pcg_device.sincos_2pi(T, fdt)
+        D_re = amp * cosv * zf
+        D_im = amp * sinv * zf
+        D, F, G, H, f = _finish_fields(
+            D_re, D_im, cfg, tables, fdt, n2, k2, kx, ky, kz, ppd
+        )
+
+    # ky = 0 in-plane fixup, applied iff this slab contains row 0.
+    # Matches the hermitian_source path byte-for-byte: mirror entries
+    # take conj(source) = conjugate-reflect of the computed row; the
+    # origin is zeroed by multiply (sign-of-zero-identical to live=0).
+    z2 = jnp.arange(ppd)[:, None]
+    x2 = jnp.arange(ppd)[None, :]
+    fixm = (z2 > half) | ((z2 == 0) & (x2 > half))
+    orig = (z2 == 0) & (x2 == 0)
+    live0 = jnp.where(orig, fdt(0), fdt(1))
+    take = jnp.asarray(y0) == 0
+
+    def fix(w):
+        re, im = w
+        p_re, p_im = re[0], im[0]
+        f_re = jnp.where(fixm, _reflect_zx(p_re), p_re) * live0
+        f_im = jnp.where(fixm, -_reflect_zx(p_im), p_im) * live0
+        return (
+            re.at[0].set(jnp.where(take, f_re, p_re)),
+            im.at[0].set(jnp.where(take, f_im, p_im)),
+        )
+
+    if cfg.just_density:
+        return jnp.stack(fix(D))[None]
+
+    A = _pack(fix(D), fix(F))
+    B = _pack(fix(G), fix(H))
+    if not cfg.qPLT:
+        return jnp.stack([jnp.stack(A), jnp.stack(B)])
+    Ff = (F[0] * f, F[1] * f)
+    Gf = (G[0] * f, G[1] * f)
+    Hf = (H[0] * f, H[1] * f)
+    zero2 = (jnp.zeros_like(D[0]), jnp.zeros_like(D[1]))
+    A2 = _pack(fix(zero2), fix(Ff))
+    B2 = _pack(fix(Gf), fix(Hf))
+    return jnp.stack(
+        [jnp.stack(A), jnp.stack(B), jnp.stack(A2), jnp.stack(B2)]
+    )
+
+
 def synthesize_pair(
     y,
     z,
